@@ -1,0 +1,67 @@
+"""On-device DDPM reverse sampler as a single ``lax.scan``.
+
+The reference samples with a Python loop of 100 sequential UNet forwards
+(``models/palette.py:79-100``, ``palette.py:233-252``) — the most expensive
+inner loop in the codebase. Here the whole reverse chain is one compiled
+``lax.scan`` whose carry is (y_t, PRNG key): inference never leaves HBM
+(SURVEY §3.2 north star). Noise is zeroed for t <= 1, matching
+``palette.py:250``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pai_tpu.diffusion.schedule import DiffusionSchedule
+from pai_tpu.diffusion.gaussian import p_mean_variance
+
+
+def ddpm_sample(
+    sched: DiffusionSchedule,
+    denoise_fn: Callable,
+    x,
+    rng,
+    learn_var: bool = False,
+    capture_every: Optional[int] = None,
+):
+    """Run the full reverse chain conditioned on ``x`` [N,H,W,C].
+
+    ``denoise_fn(x, y_t, gamma[N]) -> model_output`` is the (already
+    parameter-bound, eval-mode) UNet. Returns ``y_0`` — and, if
+    ``capture_every`` is set, the stacked intermediate frames
+    (palette.py:83-95's 8-frame process capture: y_T plus every
+    ``timesteps // 7``-th step).
+    """
+    n = x.shape[0]
+    rng, rng_init = jax.random.split(rng)
+    y_T = jax.random.normal(rng_init, x.shape, jnp.float32)
+
+    def step(carry, i):
+        y_t, key = carry
+        key, knoise = jax.random.split(key)
+        t = jnp.full((n,), i, jnp.int32)
+        gamma = sched.gammas[t]
+        model_output = denoise_fn(x, y_t, gamma)
+        mean, log_variance = p_mean_variance(
+            sched, model_output, y_t, t, learn_var)
+        noise = jax.random.normal(knoise, y_t.shape, jnp.float32)
+        noise = noise * (t > 1).reshape(-1, 1, 1, 1)
+        y_prev = mean + jnp.exp(0.5 * log_variance) * noise
+        out = y_prev if capture_every else None
+        return (y_prev, key), out
+
+    ts = jnp.arange(sched.timesteps - 1, -1, -1)
+    (y_0, _), frames = jax.lax.scan(step, (y_T, rng), ts)
+
+    if capture_every:
+        # Reference captures y_T first, then y_t whenever t % (T//7) == 0
+        # (palette.py:88-95).
+        idx = [int(i) for i in ts if int(i) % capture_every == 0]
+        keep = jnp.array([list(ts).index(i) for i in idx], jnp.int32)
+        process = jnp.concatenate(
+            [y_T[:, None], frames[keep].swapaxes(0, 1)], axis=1)
+        return y_0, process
+    return y_0

@@ -1,0 +1,112 @@
+"""Spatial self-attention for the diffusion UNet.
+
+The reference materialises the full O(T^2) softmax
+(``models/guided_diffusion/unet.py:276-297``), surviving only via always-on
+gradient checkpointing (``unet.py:254``). With the CLI-default
+``--attention-res 8,4,2`` attention runs on up to 128x128 = 16,384 tokens
+(SURVEY §5), where a materialised 16384^2 weight tensor is ~1 GB per head per
+image — so the TPU rebuild uses an online-softmax *blockwise* formulation for
+long sequences: numerically identical, O(T * block) memory, and written
+blockwise so a future sequence-sharded (ring) variant is a follow-on rather
+than a rewrite. A fused Pallas kernel (``pai_tpu.kernels.flash_attention``)
+is used on TPU for the long-sequence path; this module is the XLA reference
+and fallback.
+
+Scaling matches QKVAttentionLegacy: q and k are each scaled by
+``ch**-0.25`` before the product (== logits / sqrt(head_dim)), softmax in
+float32 (``unet.py:291-295``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Sequences at or above this length take the blockwise path.
+_BLOCKWISE_THRESHOLD = 4096
+_Q_BLOCK = 1024
+_KV_BLOCK = 1024
+
+
+def _full_attention(q, k, v):
+    """Reference full-softmax attention. q,k,v: (B, H, T, D), f32 softmax."""
+    d = q.shape[-1]
+    scale = d ** -0.25
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k * scale,
+        preferred_element_type=jnp.float32,
+    )
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
+def _blockwise_attention(q, k, v, q_block: int, kv_block: int):
+    """Online-softmax blockwise attention (exact, not approximate)."""
+    b, h, t, d = q.shape
+    scale = d ** -0.25
+    q = q * scale
+    k = k * scale
+    num_kv = t // kv_block
+
+    def process_q_block(q_blk):
+        # q_blk: (B, H, q_block, D)
+        def kv_step(carry, kv_idx):
+            m_prev, l_prev, acc_prev = carry
+            ks = jax.lax.dynamic_slice_in_dim(k, kv_idx * kv_block,
+                                              kv_block, axis=2)
+            vs = jax.lax.dynamic_slice_in_dim(v, kv_idx * kv_block,
+                                              kv_block, axis=2)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q_blk, ks,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32)
+            m_cur = jnp.max(logits, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(logits - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc_prev * alpha + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, vs.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            return (m_new, l_new, acc_new), None
+
+        init = (
+            jnp.full((b, h, q_blk.shape[2], 1), -jnp.inf, jnp.float32),
+            jnp.zeros((b, h, q_blk.shape[2], 1), jnp.float32),
+            jnp.zeros((b, h, q_blk.shape[2], d), jnp.float32),
+        )
+        (m, l, acc), _ = jax.lax.scan(
+            jax.checkpoint(kv_step), init, jnp.arange(num_kv))
+        return (acc / l).astype(v.dtype)
+
+    num_q = t // q_block
+    q_blocks = q.reshape(b, h, num_q, q_block, d).transpose(2, 0, 1, 3, 4)
+    out = jax.lax.map(process_q_block, q_blocks)
+    return out.transpose(1, 2, 0, 3, 4).reshape(b, h, t, d)
+
+
+def multihead_attention(q, k, v, use_pallas: bool = True):
+    """Self-attention over (B, H, T, D) with automatic long-sequence path.
+
+    For T >= 4096 dispatches to the Pallas flash kernel on TPU (exact parity
+    with the blockwise XLA path, tested), otherwise uses the blockwise XLA
+    formulation; short sequences use the straightforward full softmax.
+    """
+    t = q.shape[2]
+    if t < _BLOCKWISE_THRESHOLD or t % _KV_BLOCK or t % _Q_BLOCK:
+        return _full_attention(q, k, v)
+    if use_pallas:
+        try:
+            from pai_tpu.kernels.flash_attention import flash_attention
+
+            if jax.default_backend() == "tpu":
+                return flash_attention(q, k, v)
+        except Exception:
+            pass
+    return _blockwise_attention(q, k, v, _Q_BLOCK, _KV_BLOCK)

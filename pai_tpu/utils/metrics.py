@@ -1,0 +1,157 @@
+"""SSIM / PSNR / MSE / RMSE with torchmetrics-0.11 functional semantics.
+
+The reference computes every quality number through torchmetrics functional
+metrics with ``data_range=1.0`` (``models/utils.py:38-47``, ``report.py:3-7``):
+
+* SSIM: 11x11 Gaussian window (sigma=1.5), k1=0.01, k2=0.03. torchmetrics
+  reflect-pads by 5, runs a *valid* depthwise window so the similarity map is
+  full-resolution, and reduces the scalar over the map cropped by the pad on
+  each side. ``return_full_image=True`` returns the uncropped map
+  (``report.py:78-84``).
+* PSNR: ``10 * log10(data_range^2 / mean_sq_err)`` over the whole tensor.
+* MSE / RMSE: plain mean squared error; RMSE over the whole set
+  (``report.py:146``).
+
+Everything is NHWC and pure jnp, so the same code runs under jit inside the
+training step (SSIM/PSNR are *losses* for loss_type ssim|psnr|ssim+psnr,
+``models/wrapper.py:53-63``) and on device at report time. The separable
+Gaussian blur is two depthwise convs — exactly the outer-product 2-D kernel
+torchmetrics uses, but cheaper on the VPU. A fused Pallas variant lives in
+``pai_tpu.kernels.ssim_pallas`` with a parity test against this one.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_1d(kernel_size: int = 11, sigma: float = 1.5):
+    # torchmetrics _gaussian: dist = arange((1-k)/2, (1+k)/2), g ~ exp(-(d/s)^2/2)
+    import numpy as np
+
+    dist = np.arange((1 - kernel_size) / 2, (1 + kernel_size) / 2, 1.0,
+                     dtype=np.float32)
+    g = np.exp(-((dist / sigma) ** 2) / 2.0)
+    g = g / g.sum()
+    return jnp.asarray(g)
+
+
+def _reflect_pad_hw(x, pad: int):
+    """Reflection padding on the two spatial dims of NHWC (torch 'reflect')."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def _gaussian_blur_valid(x, kernel_size: int = 11, sigma: float = 1.5):
+    """Depthwise separable Gaussian blur, VALID windows, NHWC."""
+    g = _gaussian_1d(kernel_size, sigma).astype(x.dtype)
+    c = x.shape[-1]
+    kh = jnp.tile(g.reshape(kernel_size, 1, 1, 1), (1, 1, 1, c))
+    kw = jnp.tile(g.reshape(1, kernel_size, 1, 1), (1, 1, 1, c))
+    dn = ("NHWC", "HWIO", "NHWC")
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+    return x
+
+
+def ssim_parts(pred, target, data_range: float = 1.0,
+               kernel_size: int = 11, sigma: float = 1.5,
+               k1: float = 0.01, k2: float = 0.03):
+    """Return (per_image_ssim [N], full_image_map [N,H,W,C]).
+
+    Mirrors torchmetrics ``_ssim_update``: reflect-pad by (k-1)//2, valid
+    Gaussian windows over the five moment maps, similarity map at full
+    resolution, scalar = mean over the map cropped by the pad on every side.
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    pad = (kernel_size - 1) // 2
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+
+    p = _reflect_pad_hw(pred, pad)
+    t = _reflect_pad_hw(target, pad)
+    # Five moment maps blurred in one depthwise conv by stacking on channels.
+    stacked = jnp.concatenate([p, t, p * p, t * t, p * t], axis=-1)
+    blurred = _gaussian_blur_valid(stacked, kernel_size, sigma)
+    c = pred.shape[-1]
+    mu_p, mu_t, e_pp, e_tt, e_pt = (
+        blurred[..., i * c:(i + 1) * c] for i in range(5)
+    )
+    mu_p_sq = mu_p * mu_p
+    mu_t_sq = mu_t * mu_t
+    mu_pt = mu_p * mu_t
+    sigma_p = e_pp - mu_p_sq
+    sigma_t = e_tt - mu_t_sq
+    sigma_pt = e_pt - mu_pt
+
+    full = ((2 * mu_pt + c1) * (2 * sigma_pt + c2)) / (
+        (mu_p_sq + mu_t_sq + c1) * (sigma_p + sigma_t + c2)
+    )
+    interior = full[:, pad:-pad, pad:-pad, :]
+    per_image = jnp.mean(interior.reshape(interior.shape[0], -1), axis=-1)
+    return per_image, full
+
+
+def ssim(pred, target, data_range: float = 1.0):
+    """Scalar SSIM, torchmetrics default elementwise-mean reduction
+    (== mean of per-image means at equal image sizes)."""
+    per_image, _ = ssim_parts(pred, target, data_range)
+    return jnp.mean(per_image)
+
+
+def psnr(pred, target, data_range: float = 1.0):
+    """Whole-tensor PSNR (torchmetrics default dim=None)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    mse_val = jnp.mean((pred - target) ** 2)
+    return 10.0 * jnp.log10(data_range**2 / mse_val)
+
+
+def psnr_per_image(pred, target, data_range: float = 1.0):
+    """Per-image PSNR, matching report.py:88-91 (one psnr() call per image)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    se = (pred - target) ** 2
+    mse_val = jnp.mean(se.reshape(se.shape[0], -1), axis=-1)
+    return 10.0 * jnp.log10(data_range**2 / mse_val)
+
+
+def mse(pred, target):
+    return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+
+
+def mse_per_image(pred, target):
+    se = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    return jnp.mean(se.reshape(se.shape[0], -1), axis=-1)
+
+
+def rmse(pred, target):
+    """torchmetrics mean_squared_error(squared=False) (models/utils.py:46-47)."""
+    return jnp.sqrt(mse(pred, target))
+
+
+def depth_ssim(preds, targets, num_depths: int = 16):
+    """Mean/std of per-image SSIM over ``num_depths`` horizontal bands
+    (depth axis = H), mirroring report.py:188-217.
+
+    Returns an array [num_depths, 2] of (mean, std) — std is the unbiased
+    (n-1) estimator like torch.std.
+    """
+    h = preds.shape[1]
+    band = h // num_depths
+    out = []
+    for d in range(num_depths):
+        sl = slice(d * band, (d + 1) * band) if d < num_depths - 1 else \
+            slice(d * band, h)
+        per_image, _ = ssim_parts(preds[:, sl], targets[:, sl])
+        mean = jnp.mean(per_image)
+        n = per_image.shape[0]
+        std = jnp.sqrt(jnp.sum((per_image - mean) ** 2) / jnp.maximum(n - 1, 1))
+        out.append(jnp.stack([mean, std]))
+    return jnp.stack(out)

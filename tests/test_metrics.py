@@ -1,0 +1,135 @@
+"""Golden tests for SSIM/PSNR/MSE/RMSE against a torch implementation of the
+torchmetrics-0.11 functional algorithm (the exact metric stack the reference
+uses: data_range=1.0, 11x11 Gaussian sigma=1.5, k1=0.01, k2=0.03 —
+SURVEY §2.2). torchmetrics itself is not installed here, so the oracle below
+re-derives its documented algorithm step by step in torch.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from pai_tpu.utils import metrics  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# torch oracle for torchmetrics.functional.structural_similarity_index_measure
+# --------------------------------------------------------------------------
+def _torch_gaussian_kernel(channel, kernel_size=11, sigma=1.5):
+    dist = torch.arange(
+        (1 - kernel_size) / 2, (1 + kernel_size) / 2, 1, dtype=torch.float32)
+    g = torch.exp(-((dist / sigma) ** 2) / 2)
+    g = (g / g.sum()).unsqueeze(0)
+    kernel2d = torch.matmul(g.t(), g)
+    return kernel2d.expand(channel, 1, kernel_size, kernel_size)
+
+
+def torch_ssim(pred, target, data_range=1.0, kernel_size=11, sigma=1.5,
+               k1=0.01, k2=0.03):
+    """Returns (per_image [N], full_image [N,C,H,W])."""
+    channel = pred.size(1)
+    pad = (kernel_size - 1) // 2
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    kernel = _torch_gaussian_kernel(channel, kernel_size, sigma)
+
+    p = F.pad(pred, (pad, pad, pad, pad), mode="reflect")
+    t = F.pad(target, (pad, pad, pad, pad), mode="reflect")
+    inp = torch.cat((p, t, p * p, t * t, p * t))
+    out = F.conv2d(inp, kernel, groups=channel)
+    mu_p, mu_t, e_pp, e_tt, e_pt = out.split(pred.shape[0])
+    mu_p_sq, mu_t_sq, mu_pt = mu_p**2, mu_t**2, mu_p * mu_t
+    s_p = e_pp - mu_p_sq
+    s_t = e_tt - mu_t_sq
+    s_pt = e_pt - mu_pt
+    full = ((2 * mu_pt + c1) * (2 * s_pt + c2)) / (
+        (mu_p_sq + mu_t_sq + c1) * (s_p + s_t + c2))
+    interior = full[..., pad:-pad, pad:-pad]
+    return interior.reshape(interior.shape[0], -1).mean(-1), full
+
+
+def _rand_pair(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(0, 1, size=shape).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, size=shape), 0, 1).astype(np.float32)
+    return a, b
+
+
+def test_ssim_matches_torch_oracle():
+    a, b = _rand_pair((4, 1, 64, 64), seed=0)
+    t_per_image, t_full = torch_ssim(torch.from_numpy(a), torch.from_numpy(b))
+    j_per_image, j_full = metrics.ssim_parts(
+        jnp.asarray(a.transpose(0, 2, 3, 1)),
+        jnp.asarray(b.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(j_per_image), t_per_image.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j_full).transpose(0, 3, 1, 2),
+                               t_full.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_ssim_identical_images_is_one():
+    a, _ = _rand_pair((2, 1, 32, 32), seed=1)
+    x = jnp.asarray(a.transpose(0, 2, 3, 1))
+    assert float(metrics.ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ssim_256(capsys):
+    a, b = _rand_pair((2, 1, 256, 256), seed=2)
+    t_per_image, _ = torch_ssim(torch.from_numpy(a), torch.from_numpy(b))
+    got = float(metrics.ssim(jnp.asarray(a.transpose(0, 2, 3, 1)),
+                             jnp.asarray(b.transpose(0, 2, 3, 1))))
+    # north-star parity tolerance (BASELINE.md): within 1e-3, here 1e-5
+    assert got == pytest.approx(float(t_per_image.mean()), abs=1e-5)
+
+
+def test_psnr_matches_definition():
+    a, b = _rand_pair((4, 1, 32, 32), seed=3)
+    expected = 10 * np.log10(1.0 / np.mean((a - b) ** 2))
+    got = float(metrics.psnr(jnp.asarray(a.transpose(0, 2, 3, 1)),
+                             jnp.asarray(b.transpose(0, 2, 3, 1))))
+    assert got == pytest.approx(expected, abs=1e-4)
+
+
+def test_mse_rmse():
+    a, b = _rand_pair((4, 1, 32, 32), seed=4)
+    expected = np.mean((a - b) ** 2)
+    aj = jnp.asarray(a.transpose(0, 2, 3, 1))
+    bj = jnp.asarray(b.transpose(0, 2, 3, 1))
+    assert float(metrics.mse(aj, bj)) == pytest.approx(expected, rel=1e-5)
+    assert float(metrics.rmse(aj, bj)) == pytest.approx(
+        np.sqrt(expected), rel=1e-5)
+
+
+def test_per_image_variants():
+    a, b = _rand_pair((3, 1, 32, 32), seed=5)
+    aj = jnp.asarray(a.transpose(0, 2, 3, 1))
+    bj = jnp.asarray(b.transpose(0, 2, 3, 1))
+    p = np.asarray(metrics.psnr_per_image(aj, bj))
+    m = np.asarray(metrics.mse_per_image(aj, bj))
+    for i in range(3):
+        expected_mse = np.mean((a[i] - b[i]) ** 2)
+        assert m[i] == pytest.approx(expected_mse, rel=1e-5)
+        assert p[i] == pytest.approx(10 * np.log10(1.0 / expected_mse),
+                                     abs=1e-4)
+
+
+def test_depth_ssim_shape_and_bands():
+    """depth_ssim mirrors report.py:188-217: 16 H-bands, per-band SSIM
+    mean/std (unbiased std like torch.std)."""
+    a, b = _rand_pair((4, 1, 256, 256), seed=6)
+    aj = jnp.asarray(a.transpose(0, 2, 3, 1))
+    bj = jnp.asarray(b.transpose(0, 2, 3, 1))
+    out = np.asarray(metrics.depth_ssim(aj, bj, num_depths=16))
+    assert out.shape == (16, 2)
+
+    # Check band 3 against the torch oracle on the same slice.
+    sl = slice(3 * 16, 4 * 16)
+    t_per_image, _ = torch_ssim(torch.from_numpy(a[:, :, sl]),
+                                torch.from_numpy(b[:, :, sl]))
+    assert out[3, 0] == pytest.approx(float(t_per_image.mean()), abs=1e-5)
+    assert out[3, 1] == pytest.approx(
+        float(t_per_image.std(unbiased=True)), abs=1e-5)
