@@ -1,0 +1,183 @@
+"""Host-side image pipeline with threaded prefetch.
+
+Per-item transform pins the reference semantics (``dataset.py:51-61``,
+``dataset.py:126-134``): PNG decoded as grayscale, antialiased resize to
+256x256, float32 in [0,1], then (x - 0.5) / 0.5 normalisation (applied per
+actual channel count — the reference's 3-channel Normalize on 1-channel
+tensors is a latent crash, SURVEY §5.1 quirk 2).
+
+TPU-first differences from the reference's torch DataLoader:
+* decode/resize runs in a thread pool (the native C++ decoder in
+  ``pai_tpu/native`` releases the GIL; PIL fallback otherwise) overlapped
+  with device compute via a bounded prefetch queue;
+* batches are laid out NHWC and placed on device with a ``NamedSharding``
+  over the data-parallel mesh axis;
+* the trailing partial batch (reference ``drop_last=False``) is padded to the
+  fixed batch shape — cycled samples for training (keeps one compiled step
+  shape), zero-padding with a validity count for eval so per-image metrics
+  and outputs are exact.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+
+from pai_tpu.data.manifest import load_manifest
+from pai_tpu.utils.images import read_png_gray
+
+
+class Batch(NamedTuple):
+    x: jax.Array       # condition image  [B, H, W, 1]
+    y: jax.Array       # ground truth     [B, H, W, 1]
+    n_valid: int       # rows < n_valid are real samples
+
+
+def _resize_antialias(img: np.ndarray, size: int) -> np.ndarray:
+    """Antialiased resize to (size, size) — torchvision
+    Resize(antialias=True) semantics (triangle filter). No-op when already
+    at target size (the thesis datasets are natively 256x256)."""
+    if img.shape[0] == size and img.shape[1] == size:
+        return img
+    try:
+        from pai_tpu.native import png_native
+
+        return png_native.resize_bilinear_antialias(img, size, size)
+    except Exception:
+        pass
+    from PIL import Image
+
+    return np.asarray(
+        Image.fromarray(img).resize((size, size), Image.BILINEAR))
+
+
+def load_example(paths: Tuple[str, str], image_size: int = 256,
+                 normalize: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode one (input, ground_truth) pair -> two [H,W,1] float32 arrays."""
+    out = []
+    for p in paths:
+        img = read_png_gray(p)
+        img = _resize_antialias(img, image_size)
+        img = img.astype(np.float32) / 255.0
+        if normalize:
+            img = (img - 0.5) / 0.5
+        out.append(img[..., None])
+    return out[0], out[1]
+
+
+class ImageDataset:
+    """Paired-image dataset over a YAML manifest (dataset.py:110-134)."""
+
+    def __init__(self, manifest_path: str, image_size: int = 256,
+                 normalize: bool = True):
+        self.pairs: List[Tuple[str, str]] = load_manifest(manifest_path)
+        self.image_size = image_size
+        self.normalize = normalize
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        return load_example(self.pairs[idx], self.image_size, self.normalize)
+
+
+class BatchLoader:
+    """Threaded, prefetching batch iterator with fixed batch shape.
+
+    ``shuffle=True`` reshuffles every epoch with a per-epoch seed
+    (deterministic across resumes); padding strategy per the module
+    docstring. ``sharding`` (optional ``jax.sharding.NamedSharding``) places
+    each batch directly in its data-parallel layout.
+    """
+
+    def __init__(
+        self,
+        dataset: ImageDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        pad_mode: str = "cycle",  # "cycle" (train) | "zero" (eval)
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        sharding=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.pad_mode = pad_mode
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.sharding = sharding
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = self._epoch_order()
+        self.epoch += 1
+        n = len(order)
+        bs = self.batch_size
+        img = self.dataset.image_size
+
+        batches: List[Tuple[Sequence[int], int]] = []
+        for start in range(0, n, bs):
+            idx = list(order[start:start + bs])
+            n_valid = len(idx)
+            if n_valid < bs:
+                if self.pad_mode == "cycle":
+                    idx = idx + list(order[: bs - n_valid])
+                else:
+                    idx = idx + [-1] * (bs - n_valid)
+            batches.append((idx, n_valid))
+
+        out_q: "queue.Queue[Optional[Batch]]" = queue.Queue(self.prefetch)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def assemble(idx: Sequence[int], n_valid: int) -> Batch:
+            xs = np.zeros((bs, img, img, 1), np.float32)
+            ys = np.zeros((bs, img, img, 1), np.float32)
+            futures = {
+                i: pool.submit(self.dataset.__getitem__, j)
+                for i, j in enumerate(idx) if j >= 0
+            }
+            for i, fut in futures.items():
+                xs[i], ys[i] = fut.result()
+            if self.sharding is not None:
+                return Batch(jax.device_put(xs, self.sharding),
+                             jax.device_put(ys, self.sharding), n_valid)
+            return Batch(xs, ys, n_valid)
+
+        def producer():
+            try:
+                for idx, n_valid in batches:
+                    out_q.put(assemble(idx, n_valid))
+            finally:
+                out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            thread.join(timeout=1.0)
+            pool.shutdown(wait=False, cancel_futures=True)

@@ -230,10 +230,16 @@ class LayerNorm(nn.Module):
 
 
 def max_pool_2x(x):
-    """torch ``nn.MaxPool2d(2)`` on NHWC (reference models/res_unet.py:199)."""
+    """torch ``nn.MaxPool2d(2)`` on NHWC (reference models/res_unet.py:199).
+
+    init_value must be a concrete literal so XLA emits the differentiable
+    reduce_window_max primitive."""
+    import numpy as np
+
+    init = np.array(-np.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
+        else np.array(np.iinfo(x.dtype).min, x.dtype)
     return jax.lax.reduce_window(
-        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        jax.lax.max,
+        x, init, jax.lax.max,
         window_dimensions=(1, 2, 2, 1),
         window_strides=(1, 2, 2, 1),
         padding="VALID",
@@ -243,8 +249,10 @@ def max_pool_2x(x):
 def avg_pool_2x(x):
     """torch ``nn.AvgPool2d(2)`` on NHWC (guided_diffusion Downsample,
     models/guided_diffusion/unet.py:98)."""
+    import numpy as np
+
     s = jax.lax.reduce_window(
-        x, jnp.zeros((), x.dtype), jax.lax.add,
+        x, np.array(0, x.dtype), jax.lax.add,
         window_dimensions=(1, 2, 2, 1),
         window_strides=(1, 2, 2, 1),
         padding="VALID",

@@ -1,0 +1,288 @@
+"""Jitted train / eval steps — the hot loop of the framework.
+
+GAN step (mirrors ``models/wrapper.py:117-162``, D-then-G ordering):
+  1. one generator forward captured with ``jax.vjp`` (batch_stats updated);
+  2. discriminator update against ``stop_gradient(pred)`` and the real pair —
+     BCE(fake->0) + BCE(real->1);
+  3. generator loss against the *updated* discriminator, differentiated
+     through the saved vjp — so the generator backward reuses the forward's
+     residuals instead of re-running the forward.
+  TPU-first deviation (SURVEY §5.1 quirk 6, explicitly sanctioned): the
+  reference runs the generator forward twice per step with fresh dropout
+  noise (``wrapper.py:126`` + ``wrapper.py:147``); since the generator
+  weights are identical in both phases, a single forward is mathematically
+  the same model sample and saves ~25% of the step FLOPs.
+
+Palette step (mirrors ``models/palette.py:110-140``): uniform t, continuous-
+gamma q-sample, MSE on predicted noise, VLB term (added with weight 1e-3 only
+when learning the variance, logged always).
+
+Everything is a pure function of (state, batch, rng); under a data-parallel
+mesh the batch argument arrives sharded over 'dp' and XLA inserts the psum
+for gradients automatically (global-batch semantics, including synced
+BatchNorm statistics — SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pai_tpu.diffusion import DiffusionSchedule, q_sample, vlb_term, ddpm_sample
+from pai_tpu.train import losses
+from pai_tpu.train.ema import EmaState, init_ema, update_ema
+from pai_tpu.train.state import (
+    GanTrainState,
+    PaletteTrainState,
+    gan_optimizer,
+    palette_optimizer,
+)
+from pai_tpu.utils import metrics
+from pai_tpu.utils.images import denormalize
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+def init_gan_state(generator, discriminator, rng, batch_shape,
+                   loss_type: str, use_ema: bool) -> GanTrainState:
+    """Whole-state init under one jit — eager init would dispatch thousands
+    of tiny ops (pathological over a remote-tunnel TPU)."""
+
+    def build(rng_):
+        rng_g, rng_d = jax.random.split(rng_)
+        x = jnp.zeros(batch_shape, jnp.float32)
+        g_vars = generator.init(rng_g, x, train=False)
+        g_params = g_vars["params"]
+        g_stats = g_vars.get("batch_stats", {})
+        g_opt = gan_optimizer().init(g_params)
+
+        d_params = None
+        d_opt = None
+        if loss_type == "gan":
+            d_vars = discriminator.init(rng_d, x, x)
+            d_params = d_vars["params"]
+            d_opt = gan_optimizer().init(d_params)
+
+        ema = None
+        if use_ema:
+            # EMA spans all parameters (callbacks/ema.py:19-22).
+            ema = init_ema({"generator": g_params,
+                            "discriminator": d_params if d_params is not None
+                            else {}})
+        return GanTrainState(step=jnp.zeros((), jnp.int32), g_params=g_params,
+                             g_stats=g_stats, g_opt=g_opt, d_params=d_params,
+                             d_opt=d_opt, ema=ema)
+
+    return jax.jit(build)(rng)
+
+
+def init_palette_state(unet, rng, batch_shape, use_ema: bool
+                       ) -> PaletteTrainState:
+    def build(rng_):
+        x = jnp.zeros(batch_shape, jnp.float32)
+        gammas = jnp.ones((batch_shape[0],), jnp.float32)
+        variables = unet.init(rng_, x, x, gammas, train=False)
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        opt = palette_optimizer().init(params)
+        ema = init_ema({"unet": params}) if use_ema else None
+        return PaletteTrainState(step=jnp.zeros((), jnp.int32), params=params,
+                                 stats=stats, opt=opt, ema=ema)
+
+    return jax.jit(build)(rng)
+
+
+# --------------------------------------------------------------------------
+# GAN families
+# --------------------------------------------------------------------------
+def make_gan_train_step(generator, discriminator, loss_type: str):
+    g_tx = gan_optimizer()
+    d_tx = gan_optimizer()
+
+    def train_step(state: GanTrainState, x, y, rng):
+        rng_dropout = jax.random.fold_in(rng, state.step)
+
+        # --- single generator forward, vjp-captured ---
+        def g_forward(g_params):
+            variables = {"params": g_params}
+            if state.g_stats:
+                variables["batch_stats"] = state.g_stats
+            out = generator.apply(
+                variables, x, train=True, rngs={"dropout": rng_dropout},
+                mutable=["batch_stats"] if state.g_stats else [],
+            )
+            if state.g_stats:
+                pred, new_vars = out
+                return pred, new_vars["batch_stats"]
+            return out, state.g_stats
+
+        # has_aux=True: the updated batch_stats ride along undifferentiated.
+        pred, g_vjp, new_gstats = jax.vjp(
+            g_forward, state.g_params, has_aux=True)
+        aux_metrics = {}
+
+        new_d_params, new_d_opt = state.d_params, state.d_opt
+        if loss_type == "gan":
+            # --- discriminator phase (wrapper.py:120-138) ---
+            pred_sg = jax.lax.stop_gradient(pred)
+
+            def d_loss_fn(d_params):
+                target_logits = discriminator.apply({"params": d_params}, x, y)
+                pred_logits = discriminator.apply(
+                    {"params": d_params}, x, pred_sg)
+                return losses.discriminator_loss(pred_logits, target_logits)
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+            d_updates, new_d_opt = d_tx.update(
+                d_grads, state.d_opt, state.d_params)
+            new_d_params = optax.apply_updates(state.d_params, d_updates)
+            aux_metrics["d_loss"] = d_loss
+
+        # --- generator phase against the updated D (wrapper.py:140-162) ---
+        def g_loss_from_pred(pred_):
+            pred_logits = None
+            if loss_type == "gan":
+                pred_logits = discriminator.apply(
+                    {"params": new_d_params}, x, pred_)
+            return losses.generator_loss(loss_type, pred_, y, pred_logits)
+
+        g_loss, dpred = jax.value_and_grad(g_loss_from_pred)(pred)
+        (g_grads,) = g_vjp(dpred)
+        g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        new_g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_ema = state.ema
+        if state.ema is not None:
+            new_ema = update_ema(state.ema, {
+                "generator": new_g_params,
+                "discriminator": new_d_params if new_d_params is not None
+                else {},
+            })
+
+        dp, dt = denormalize(pred), denormalize(y)
+        step_metrics = {
+            "loss": g_loss,
+            "train_ssim": metrics.ssim(dp, dt),
+            "train_psnr": metrics.psnr(dp, dt),
+            "train_rmse": metrics.rmse(dp, dt),
+            **aux_metrics,
+        }
+        new_state = state.replace(
+            step=state.step + 1, g_params=new_g_params, g_stats=new_gstats,
+            g_opt=new_g_opt, d_params=new_d_params, d_opt=new_d_opt,
+            ema=new_ema)
+        return new_state, step_metrics
+
+    return train_step
+
+
+def make_gan_eval_step(generator):
+    """Eval-mode forward + per-image metrics; rows >= n_valid are masked out
+    by the caller via the returned per-image arrays."""
+
+    def eval_step(g_params, g_stats, x, y):
+        variables = {"params": g_params}
+        if g_stats:
+            variables["batch_stats"] = g_stats
+        pred = generator.apply(variables, x, train=False)
+        dp, dt = denormalize(pred), denormalize(y)
+        per_ssim, _ = metrics.ssim_parts(dp, dt)
+        per_psnr = metrics.psnr_per_image(dp, dt)
+        per_mse = metrics.mse_per_image(dp, dt)
+        return pred, {"ssim": per_ssim, "psnr": per_psnr, "mse": per_mse}
+
+    return eval_step
+
+
+def gan_eval_params(state: GanTrainState):
+    """Parameters validation should run under: EMA weights when EMA is
+    enabled (callbacks/ema.py:35-43), raw weights otherwise."""
+    if state.ema is not None:
+        return state.ema.params["generator"]
+    return state.g_params
+
+
+# --------------------------------------------------------------------------
+# Palette diffusion
+# --------------------------------------------------------------------------
+def make_palette_train_step(unet, sched: DiffusionSchedule, learn_var: bool):
+    tx = palette_optimizer()
+
+    def train_step(state: PaletteTrainState, x, y_0, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        rng_t, rng_q, rng_drop = jax.random.split(rng, 3)
+        n = y_0.shape[0]
+        t = jax.random.randint(rng_t, (n,), 0, sched.timesteps)
+        y_t, noise, gamma = q_sample(sched, y_0, t, rng_q)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.stats:
+                variables["batch_stats"] = state.stats
+            out = unet.apply(
+                variables, x, y_t, gamma, train=True,
+                rngs={"dropout": rng_drop},
+                mutable=["batch_stats"] if state.stats else [],
+            )
+            if state.stats:
+                model_output, new_vars = out
+                new_stats = new_vars["batch_stats"]
+            else:
+                model_output, new_stats = out, state.stats
+            c = y_0.shape[-1]
+            noise_pred = model_output[..., :c] if learn_var else model_output
+            mse_loss = jnp.mean((noise_pred - noise) ** 2)
+            vlb = jnp.mean(vlb_term(sched, model_output, y_0, y_t, t,
+                                    learn_var))
+            loss = mse_loss + (0.001 * vlb if learn_var else 0.0)
+            return loss, (mse_loss, vlb, new_stats)
+
+        (loss, (mse_loss, vlb, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema
+        if state.ema is not None:
+            new_ema = update_ema(state.ema, {"unet": new_params})
+
+        step_metrics = {"loss": loss, "mse_loss": mse_loss, "vlb_loss": vlb}
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  stats=new_stats, opt=new_opt, ema=new_ema)
+        return new_state, step_metrics
+
+    return train_step
+
+
+def make_palette_sample_step(unet, sched_inf: DiffusionSchedule,
+                             learn_var: bool):
+    """Full reverse-diffusion sampling as one compiled lax.scan
+    (palette.py:79-100) plus per-image metrics."""
+
+    def sample(params, stats, x, y_0, rng):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+
+        def denoise_fn(cond, y_t, gamma):
+            return unet.apply(variables, cond, y_t, gamma, train=False)
+
+        y_pred = ddpm_sample(sched_inf, denoise_fn, x, rng, learn_var)
+        dp, dt = denormalize(y_pred), denormalize(y_0)
+        per_ssim, _ = metrics.ssim_parts(dp, dt)
+        per_psnr = metrics.psnr_per_image(dp, dt)
+        per_mse = metrics.mse_per_image(dp, dt)
+        return y_pred, {"ssim": per_ssim, "psnr": per_psnr, "mse": per_mse}
+
+    return sample
+
+
+def palette_eval_params(state: PaletteTrainState):
+    if state.ema is not None:
+        return state.ema.params["unet"]
+    return state.params

@@ -1,0 +1,111 @@
+"""Orbax checkpointing with best-val-SSIM selection and always-save-last.
+
+Mirrors the reference's ``ModelCheckpoint(save_top_k=1, monitor="val_ssim",
+mode="max", filename="best")`` (``main.py:113-119``) and the
+hyperparameter-in-checkpoint persistence (``save_hyperparameters()`` in every
+model, SURVEY §2.2) that lets ``report.py`` rebuild the model from the
+checkpoint alone (``report.py:26-43``).
+
+Improvements over the reference (SURVEY §5): "last" is actually saved every
+validation (the reference's ``save_last=model == "palette"`` is always False
+— quirk 1) and training can resume from it.
+
+Layout: ``<dir>/<name>/best/`` and ``<dir>/<name>/last/``, each holding an
+orbax ``state`` tree plus a ``meta.yaml`` with hparams, step, epoch and the
+monitored value.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.abspath(os.path.join(root, name))
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        self.best_value: Optional[float] = None
+        best_meta = self._read_meta("best")
+        if best_meta:
+            self.best_value = best_meta.get("monitor_value")
+
+    # -- paths ------------------------------------------------------------
+    def _slot(self, which: str) -> str:
+        return os.path.join(self.dir, which)
+
+    def _read_meta(self, which: str) -> Optional[Dict]:
+        path = os.path.join(self._slot(which), "meta.yaml")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return yaml.safe_load(f)
+
+    # -- save / load --------------------------------------------------------
+    def _save(self, which: str, state, meta: Dict) -> None:
+        slot = self._slot(which)
+        tmp = slot + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        self._ckptr.save(os.path.join(tmp, "state"), state)
+        self._ckptr.wait_until_finished()
+        with open(os.path.join(tmp, "meta.yaml"), "w") as f:
+            yaml.safe_dump(meta, f)
+        if os.path.exists(slot):
+            shutil.rmtree(slot)
+        os.rename(tmp, slot)
+
+    def save_last(self, state, hparams: Dict, step: int, epoch: int,
+                  monitor_value: Optional[float] = None) -> None:
+        self._save("last", state, {
+            "hparams": hparams, "step": int(step), "epoch": int(epoch),
+            "monitor_value": None if monitor_value is None
+            else float(monitor_value),
+        })
+
+    def maybe_save_best(self, state, hparams: Dict, step: int, epoch: int,
+                        monitor_value: float) -> bool:
+        """Save to best/ iff monitor improved (max val_ssim)."""
+        if self.best_value is None or monitor_value > self.best_value:
+            self._save("best", state, {
+                "hparams": hparams, "step": int(step), "epoch": int(epoch),
+                "monitor_value": float(monitor_value),
+            })
+            self.best_value = float(monitor_value)
+            return True
+        return False
+
+    def restore(self, which: str, abstract_state=None) -> Tuple[Any, Dict]:
+        slot = self._slot(which)
+        meta = self._read_meta(which)
+        if meta is None:
+            raise FileNotFoundError(f"no checkpoint at {slot}")
+        target = None
+        if abstract_state is not None:
+            target = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                abstract_state)
+        state = self._ckptr.restore(os.path.join(slot, "state"), target)
+        return state, meta
+
+
+def load_checkpoint(path: str, abstract_state=None) -> Tuple[Any, Dict]:
+    """Load a checkpoint from an explicit slot path (``.../best`` or
+    ``.../last``) — the report CLI entry point (report.py:24-49)."""
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "meta.yaml")) as f:
+        meta = yaml.safe_load(f)
+    target = None
+    if abstract_state is not None:
+        target = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), abstract_state)
+    state = ocp.StandardCheckpointer().restore(
+        os.path.join(path, "state"), target)
+    return state, meta

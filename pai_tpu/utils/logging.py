@@ -1,0 +1,51 @@
+"""CSV metric logger with the Lightning CSVLogger directory layout the
+reference relies on (``main.py:121``, ``log_every_n_steps=10`` at
+``main.py:126``): ``logs/<name>/version_<k>/metrics.csv`` plus an
+``hparams.yaml`` dump. Palette validation writes its per-epoch output PNGs
+under the same ``log_dir`` (``models/palette.py:142-167``)."""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, Optional
+
+import yaml
+
+
+class CSVLogger:
+    def __init__(self, save_dir: str, name: str):
+        base = os.path.join(save_dir, name)
+        os.makedirs(base, exist_ok=True)
+        version = 0
+        while os.path.exists(os.path.join(base, f"version_{version}")):
+            version += 1
+        self.log_dir = os.path.join(base, f"version_{version}")
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._path = os.path.join(self.log_dir, "metrics.csv")
+        self._fieldnames: list[str] = ["epoch", "step"]
+        self._rows: list[dict] = []
+
+    def log_hparams(self, hparams: Dict) -> None:
+        with open(os.path.join(self.log_dir, "hparams.yaml"), "w") as f:
+            yaml.safe_dump(hparams, f)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int,
+                    epoch: Optional[int] = None) -> None:
+        row = {"step": step}
+        if epoch is not None:
+            row["epoch"] = epoch
+        for k, v in metrics.items():
+            row[k] = float(v)
+            if k not in self._fieldnames:
+                self._fieldnames.append(k)
+        self._rows.append(row)
+        self._flush()
+
+    def _flush(self) -> None:
+        # Rewrite with the union header (cheap at these row counts and keeps
+        # the file valid after new metric keys appear mid-run).
+        with open(self._path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self._fieldnames)
+            writer.writeheader()
+            writer.writerows(self._rows)

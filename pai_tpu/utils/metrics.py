@@ -30,14 +30,15 @@ import jax.numpy as jnp
 
 @functools.lru_cache(maxsize=None)
 def _gaussian_1d(kernel_size: int = 11, sigma: float = 1.5):
-    # torchmetrics _gaussian: dist = arange((1-k)/2, (1+k)/2), g ~ exp(-(d/s)^2/2)
+    """torchmetrics _gaussian: dist = arange((1-k)/2, (1+k)/2),
+    g ~ exp(-(d/s)^2/2). Returned as a host numpy constant (cache-safe under
+    tracing; it is baked into the jaxpr as a literal)."""
     import numpy as np
 
     dist = np.arange((1 - kernel_size) / 2, (1 + kernel_size) / 2, 1.0,
                      dtype=np.float32)
     g = np.exp(-((dist / sigma) ** 2) / 2.0)
-    g = g / g.sum()
-    return jnp.asarray(g)
+    return g / g.sum()
 
 
 def _reflect_pad_hw(x, pad: int):
@@ -47,7 +48,7 @@ def _reflect_pad_hw(x, pad: int):
 
 def _gaussian_blur_valid(x, kernel_size: int = 11, sigma: float = 1.5):
     """Depthwise separable Gaussian blur, VALID windows, NHWC."""
-    g = _gaussian_1d(kernel_size, sigma).astype(x.dtype)
+    g = jnp.asarray(_gaussian_1d(kernel_size, sigma), x.dtype)
     c = x.shape[-1]
     kh = jnp.tile(g.reshape(kernel_size, 1, 1, 1), (1, 1, 1, c))
     kw = jnp.tile(g.reshape(1, kernel_size, 1, 1), (1, 1, 1, c))

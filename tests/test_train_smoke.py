@@ -1,0 +1,138 @@
+"""End-to-end training smoke tests on a tiny synthetic dataset (SURVEY §4):
+loss decreases, metrics are logged, the best checkpoint appears, and resume
+works. Runs on the 8-device CPU mesh, exercising the full SPMD path."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from pai_tpu.utils.images import write_png
+
+
+@pytest.fixture()
+def synthetic_manifest(tmp_path):
+    """16 paired 32x32 PNGs where target = blurred input (learnable map)."""
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(16):
+        x = rng.integers(0, 255, size=(32, 32), dtype=np.uint8)
+        # target: smooth function of input
+        y = (255 - x.astype(np.int32)).astype(np.uint8)
+        write_png(x, str(tmp_path / f"in_{i}.png"))
+        write_png(y, str(tmp_path / f"gt_{i}.png"))
+        entries.append(f"- input: in_{i}.png\n  ground_truth: gt_{i}.png\n")
+    train = tmp_path / "train.yaml"
+    train.write_text("".join(entries[:12]))
+    val = tmp_path / "val.yaml"
+    val.write_text("".join(entries[12:]))
+    return str(train), str(val)
+
+
+def _hparams(tmp_path, train, val, **kw):
+    h = {
+        "name": "smoke",
+        "data": train,
+        "val_data": val,
+        "epochs": 2,
+        "steps": -1,
+        "batch_size": 4,
+        "val_epochs": 1,
+        "precision": "32",
+        "ema": False,
+        "channel_mults": "1,2",
+        "attention_res": "2",
+        "dropout": 0.0,
+        "loss_type": "mse",
+        "schedule_type": "linear",
+        "learn_variance": False,
+        "model": "pix2pix",
+        "seed": 0,
+        "resume": False,
+        "image_size": 32,
+        "log_dir": str(tmp_path / "logs"),
+        "ckpt_dir": str(tmp_path / "ckpts"),
+    }
+    h.update(kw)
+    return h
+
+
+def _read_metrics(log_root):
+    version = sorted(os.listdir(os.path.join(log_root, "smoke")))[0]
+    path = os.path.join(log_root, "smoke", version, "metrics.csv")
+    with open(path) as f:
+        return list(csv.DictReader(f))
+
+
+def test_pix2pix_mse_end_to_end(tmp_path, synthetic_manifest):
+    from pai_tpu.train.loop import fit
+
+    train, val = synthetic_manifest
+    h = _hparams(tmp_path, train, val, epochs=4)
+    summary = fit(h)
+    assert summary["steps"] == 12  # 3 batches * 4 epochs
+    assert "val_ssim" in summary
+
+    # best + last checkpoints exist
+    assert os.path.isdir(tmp_path / "ckpts" / "smoke" / "best")
+    assert os.path.isdir(tmp_path / "ckpts" / "smoke" / "last")
+
+    rows = _read_metrics(h["log_dir"])
+    assert any("loss" in r and r["loss"] for r in rows)
+    assert any(r.get("val_ssim") for r in rows)
+
+
+def test_pix2pix_gan_two_optimizer_step(tmp_path, synthetic_manifest):
+    from pai_tpu.train.loop import fit
+
+    train, val = synthetic_manifest
+    h = _hparams(tmp_path, train, val, loss_type="gan", epochs=4, steps=10)
+    summary = fit(h)
+    assert summary["steps"] == 10
+    rows = _read_metrics(h["log_dir"])
+    # d_loss logged alongside generator loss (wrapper.py:132)
+    assert any(r.get("d_loss") for r in rows)
+
+
+def test_ema_and_resume(tmp_path, synthetic_manifest):
+    from pai_tpu.train.loop import fit
+
+    train, val = synthetic_manifest
+    h = _hparams(tmp_path, train, val, ema=True, epochs=1)
+    s1 = fit(h)
+    h2 = dict(h, resume=True, epochs=2)
+    s2 = fit(h2)
+    assert s2["steps"] > s1["steps"]
+
+
+def test_palette_end_to_end(tmp_path, synthetic_manifest):
+    """Diffusion training + scan-sampled validation + output PNGs
+    (palette.py:110-174)."""
+    from pai_tpu.train.loop import fit
+
+    train, val = synthetic_manifest
+    h = _hparams(tmp_path, train, val, model="palette", epochs=1,
+                 channel_mults="1,2", attention_res="2", val_epochs=1)
+    summary = fit(h)
+    assert summary["steps"] == 3
+    assert "val_ssim" in summary
+    # sampled validation outputs written under log_dir/<epoch+1>/
+    version = sorted(os.listdir(os.path.join(h["log_dir"], "smoke")))[0]
+    epoch_dir = os.path.join(h["log_dir"], "smoke", version, "1")
+    assert os.path.isdir(epoch_dir)
+    assert len(os.listdir(epoch_dir)) == 4  # 4 val images
+    rows = _read_metrics(h["log_dir"])
+    assert any(r.get("val_ssim") for r in rows)
+
+
+def test_loss_decreases(tmp_path, synthetic_manifest):
+    from pai_tpu.train.loop import fit
+
+    train, val = synthetic_manifest
+    h = _hparams(tmp_path, train, val, epochs=10, val_epochs=10)
+    fit(h)
+    rows = _read_metrics(h["log_dir"])
+    losses = [float(r["loss"]) for r in rows if r.get("loss")]
+    assert len(losses) >= 2
+    assert losses[-1] < losses[0]
