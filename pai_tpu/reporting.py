@@ -1,0 +1,220 @@
+"""Evaluation / report generation (capability parity with reference
+``report.py``).
+
+Given a checkpoint and a data manifest, produces under ``reports/<name>/``:
+* ``stats.txt`` — mean SSIM (over per-image values), mean PSNR, whole-set
+  RMSE, FLOPs, parameter count (``report.py:143-161``);
+* ``depth_ssim.csv`` — mean/std SSIM over 16 vertical depth bands
+  (``report.py:103-115``, ``report.py:188-217``);
+* ``outputs/*.png`` — predictions colormapped with matplotlib afmhot
+  (``report.py:117-126``, ``report.py:220-233``);
+* ``ssim_images/*.png`` — full-resolution SSIM maps (``report.py:128-141``);
+* ``ssim_per_image.csv`` / ``psnr_per_image.csv`` / ``mse_per_image.csv``
+  (``report.py:163-185``).
+
+The model is rebuilt purely from the hyperparameters embedded in the
+checkpoint (``report.py:26-43`` + Lightning save_hyperparameters), and the
+``identity`` passthrough model is supported without a checkpoint
+(``report.py:45-46``).
+
+TPU-first differences: predictions and targets stream through one jitted
+eval step per batch (the reference iterates the dataloader twice and decodes
+every PNG twice, SURVEY §5.1 quirk 9); metrics are computed on device.
+FLOPs use XLA's cost analysis on the real (1, 256, 256, C) forward — the
+reference probes fvcore with a hardcoded 3-channel input regardless of the
+model (quirk 4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pai_tpu.config import compute_dtype, parse_int_list
+from pai_tpu.data import BatchLoader, ImageDataset
+from pai_tpu.diffusion import make_schedule
+from pai_tpu.models import Discriminator, build_generator
+from pai_tpu.train import steps as steps_lib
+from pai_tpu.utils import metrics
+from pai_tpu.utils.checkpoint import load_checkpoint
+from pai_tpu.utils.flops import count_flops, parameter_count
+from pai_tpu.utils.images import afmhot_rgb, denormalize, to_int_np, write_png
+from flax import serialization
+
+IMAGE_SIZE = 256
+
+
+def _rebuild_from_checkpoint(model_name: str, ckpt_path: str):
+    """Reconstruct the eval-mode model + parameters from a checkpoint alone."""
+    state_dict, meta = load_checkpoint(ckpt_path)
+    h = meta["hparams"]
+    dtype = compute_dtype(h.get("precision", "32"))
+    mults = parse_int_list(h["channel_mults"])
+    attn = parse_int_list(h["attention_res"])
+    learn_var = h.get("learn_variance", False)
+    image_size = int(h.get("image_size") or IMAGE_SIZE)
+
+    generator = build_generator(
+        model_name, 1, 1, channel_mults=mults, attention_res=attn,
+        dropout=h.get("dropout", 0.0), learn_var=learn_var,
+        image_size=image_size, dtype=dtype)
+
+    rng = jax.random.key(0)
+    batch_shape = (1, image_size, image_size, 1)
+    if model_name == "palette":
+        template = steps_lib.init_palette_state(
+            generator, rng, batch_shape, h.get("ema", False))
+        state = serialization.from_state_dict(template, state_dict)
+        params = steps_lib.palette_eval_params(state)
+        stats = state.stats
+    else:
+        discriminator = Discriminator(dtype=dtype) \
+            if h.get("loss_type") == "gan" else None
+        template = steps_lib.init_gan_state(
+            generator, discriminator, rng, batch_shape,
+            h.get("loss_type", "gan"), h.get("ema", False))
+        state = serialization.from_state_dict(template, state_dict)
+        params = steps_lib.gan_eval_params(state)
+        stats = state.g_stats
+    return generator, params, stats, h, learn_var, image_size
+
+
+def run_report(name: str, checkpoint: Optional[str], data: str,
+               model_name: str, batch_size: int = 2,
+               reports_dir: str = "reports") -> Dict[str, float]:
+    image_size = IMAGE_SIZE
+    learn_var = False
+    generator = params = stats = None
+    if model_name == "identity":
+        pass  # passthrough (report.py:45-46)
+    else:
+        generator, params, stats, hparams, learn_var, image_size = \
+            _rebuild_from_checkpoint(model_name, checkpoint)
+
+    dataset = ImageDataset(data, image_size)
+    loader = BatchLoader(dataset, batch_size, shuffle=False, pad_mode="zero")
+
+    if model_name == "identity":
+        def predict(x, rng):
+            return x
+    elif model_name == "palette":
+        sched_inf = make_schedule("cosine", 100)
+
+        def denoise(x, y_t, gamma):
+            variables = {"params": params}
+            if stats:
+                variables["batch_stats"] = stats
+            return generator.apply(variables, x, y_t, gamma, train=False)
+
+        from pai_tpu.diffusion import ddpm_sample
+
+        @jax.jit
+        def predict(x, rng):
+            return ddpm_sample(sched_inf, denoise, x, rng, learn_var)
+    else:
+        @jax.jit
+        def predict(x, rng):
+            variables = {"params": params}
+            if stats:
+                variables["batch_stats"] = stats
+            return generator.apply(variables, x, train=False)
+
+    # Stream predictions; one decode pass over the dataset.
+    preds_list, targets_list = [], []
+    rng = jax.random.key(0)
+    for batch in loader:
+        rng, sub = jax.random.split(rng)
+        pred = predict(jnp.asarray(batch.x), sub)
+        preds_list.append(np.asarray(denormalize(pred))[: batch.n_valid])
+        targets_list.append(
+            np.asarray(denormalize(jnp.asarray(batch.y)))[: batch.n_valid])
+    preds = np.concatenate(preds_list, axis=0)
+    targets = np.concatenate(targets_list, axis=0)
+
+    # Per-image metrics + full SSIM maps, in chunks of 64 (report.py:77-96).
+    ssims, psnrs, mses, ssim_maps = [], [], [], []
+    chunked = jax.jit(lambda p, t: metrics.ssim_parts(p, t))
+    for start in range(0, preds.shape[0], 64):
+        p = jnp.asarray(preds[start:start + 64])
+        t = jnp.asarray(targets[start:start + 64])
+        per_image, full = chunked(p, t)
+        ssims.append(np.asarray(per_image))
+        ssim_maps.append(np.asarray(full))
+        psnrs.append(np.asarray(metrics.psnr_per_image(p, t)))
+        mses.append(np.asarray(metrics.mse_per_image(p, t)))
+    ssims = np.concatenate(ssims)
+    psnrs = np.concatenate(psnrs)
+    mses = np.concatenate(mses)
+    ssim_maps = np.concatenate(ssim_maps)
+
+    # SSIM over depth (16 vertical bands).
+    depth = np.asarray(metrics.depth_ssim(
+        jnp.asarray(preds), jnp.asarray(targets)))
+
+    report_dir = os.path.join(reports_dir, name)
+    os.makedirs(report_dir, exist_ok=True)
+
+    with open(os.path.join(report_dir, "depth_ssim.csv"), "w") as f:
+        f.write("depth,mean,std\n")
+        for d, (mean, std) in enumerate(depth, 1):
+            f.write(f"{d},{mean},{std}\n")
+
+    outputs_dir = os.path.join(report_dir, "outputs")
+    os.makedirs(outputs_dir, exist_ok=True)
+    for index, pred in enumerate(preds):
+        rgb = afmhot_rgb(pred[..., 0])
+        write_png(to_int_np(rgb),
+                  os.path.join(outputs_dir, f"{str(index).zfill(5)}.png"))
+
+    maps_dir = os.path.join(report_dir, "ssim_images")
+    os.makedirs(maps_dir, exist_ok=True)
+    for index, m in enumerate(ssim_maps):
+        write_png(to_int_np(np.clip(m, 0.0, 1.0)),
+                  os.path.join(maps_dir, f"{str(index).zfill(5)}.png"))
+
+    # Whole-set stats (report.py:143-161).
+    ssim_stat = float(ssims.mean())
+    psnr_stat = float(psnrs.mean())
+    rmse_stat = float(np.sqrt(np.mean((preds - targets) ** 2)))
+
+    flops = 0
+    n_params = 0
+    if model_name != "identity":
+        n_params = parameter_count(params)
+        probe = jnp.zeros((1, image_size, image_size, 1), jnp.float32)
+        if model_name == "palette":
+            gam = jnp.ones((1,), jnp.float32)
+            flops = count_flops(
+                lambda a, b, g: generator.apply(
+                    {"params": params, **({"batch_stats": stats} if stats
+                                          else {})}, a, b, g, train=False),
+                probe, probe, gam)
+        else:
+            flops = count_flops(
+                lambda a: generator.apply(
+                    {"params": params, **({"batch_stats": stats} if stats
+                                          else {})}, a, train=False),
+                probe)
+
+    with open(os.path.join(report_dir, "stats.txt"), "w") as f:
+        f.write(f"SSIM: {ssim_stat}\n")
+        f.write(f"PSNR: {psnr_stat}\n")
+        f.write(f"RMSE: {rmse_stat}\n")
+        f.write(f"FLOPs: {flops}\n")
+        f.write(f"Parameter count: {n_params}\n")
+
+    for metric_name, values in (("ssim", ssims), ("psnr", psnrs),
+                                ("mse", mses)):
+        with open(os.path.join(report_dir, f"{metric_name}_per_image.csv"),
+                  "w") as f:
+            f.write(f"image,{metric_name}\n")
+            for index, v in enumerate(values):
+                f.write(f"{str(index).zfill(5)},{v}\n")
+
+    return {"ssim": ssim_stat, "psnr": psnr_stat, "rmse": rmse_stat,
+            "flops": flops, "params": n_params}
