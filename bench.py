@@ -1,0 +1,118 @@
+"""Benchmark harness — headline: Pix2Pix 256x256 GAN training images/sec/chip.
+
+The reference publishes no numbers (BASELINE.md), so the baseline is the
+driver's north star: >= 2x A100 images/sec/chip on Pix2Pix 256² training.
+
+A100 estimate used for vs_baseline (documented): per-image training cost of
+the reference step is ~63 GFLOPs (two generator forwards at 12.2 GFLOPs each
+— wrapper.py:126,147 — one generator backward at ~2x forward, PatchGAN D
+forwards/backward ~8 GFLOPs). At TF32 with
+torch.set_float32_matmul_precision("medium") an A100 sustains ~55-65 TFLOP/s
+on conv stacks at high utilisation, i.e. ~900-1000 img/s compute-bound, less
+eager-mode and dataloader overhead -> ~550 img/s is a strong A100 number for
+the reference. Baseline for vs_baseline is therefore 2 x 550 = 1100
+img/s/chip: vs_baseline >= 1.0 means the north star is met.
+
+Measured exactly as the production loop runs: bfloat16 compute policy
+(--precision bf16), batch 128, 9 lean steps + 1 metrics step per 10
+(log_every_n_steps=10). Sync is a host readback of the final step's loss —
+on the remote-tunnel TPU backend block_until_ready returns before device
+completion, so a data-dependent readback is the only honest barrier.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_REFERENCE_IMG_S = 550.0
+NORTH_STAR_TARGET = 2.0 * A100_REFERENCE_IMG_S
+
+IMAGE = 256
+WARMUP_STEPS = 3
+TIMED_STEPS = 20
+
+
+def bench_pix2pix_train(batch, dtype):
+    from pai_tpu.models import build_generator, Discriminator
+    from pai_tpu.train import steps as steps_lib
+
+    gen = build_generator("pix2pix", dtype=dtype)
+    disc = Discriminator(dtype=dtype)
+    rng = jax.random.key(0)
+    state = steps_lib.init_gan_state(
+        gen, disc, rng, (batch, IMAGE, IMAGE, 1), "gan", use_ema=False)
+
+    kx, ky = jax.random.split(jax.random.key(1))
+    x = jax.random.normal(kx, (batch, IMAGE, IMAGE, 1), jnp.float32)
+    y = jax.random.normal(ky, (batch, IMAGE, IMAGE, 1), jnp.float32)
+
+    lean = jax.jit(steps_lib.make_gan_train_step(
+        gen, disc, "gan", compute_metrics=False), donate_argnums=(0,))
+    full = jax.jit(steps_lib.make_gan_train_step(
+        gen, disc, "gan", compute_metrics=True), donate_argnums=(0,))
+
+    for _ in range(WARMUP_STEPS):
+        state, metrics = lean(state, x, y, rng)
+    state, metrics = full(state, x, y, rng)
+    float(metrics["loss"])  # host readback: forces real device completion
+
+    t0 = time.perf_counter()
+    for i in range(TIMED_STEPS):
+        step_fn = full if (i + 1) % 10 == 0 else lean
+        state, metrics = step_fn(state, x, y, rng)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return batch * TIMED_STEPS / dt
+
+
+def bench_pix2pix_sample(batch, dtype):
+    """Inference (plain forward) images/sec, iterations chained so they
+    cannot overlap."""
+    from pai_tpu.models import build_generator
+    from pai_tpu.train import steps as steps_lib
+
+    gen = build_generator("pix2pix", dtype=dtype)
+    state = steps_lib.init_gan_state(
+        gen, None, jax.random.key(0), (batch, IMAGE, IMAGE, 1), "mse", False)
+    x = jax.random.normal(jax.random.key(1), (batch, IMAGE, IMAGE, 1))
+
+    @jax.jit
+    def fwd(params, stats, xb):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        return gen.apply(variables, xb, train=False)
+
+    out = fwd(state.g_params, state.g_stats, x)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        out = fwd(state.g_params, state.g_stats, out)
+    float(jnp.sum(out))
+    dt = time.perf_counter() - t0
+    return batch * TIMED_STEPS / dt
+
+
+def main():
+    train_bf16 = bench_pix2pix_train(128, jnp.bfloat16)
+    sample_ips = bench_pix2pix_sample(128, jnp.bfloat16)
+    result = {
+        "metric": "pix2pix_256_gan_train_images_per_sec_per_chip",
+        "value": round(train_bf16, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(train_bf16 / NORTH_STAR_TARGET, 3),
+        "sample_images_per_sec": round(sample_ips, 2),
+        "batch": 128,
+        "precision": "bf16",
+        "baseline_note": "vs_baseline = value / (2 x ~550 img/s A100 est)",
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -149,15 +149,45 @@ class BatchLoader:
         out_q: "queue.Queue[Optional[Batch]]" = queue.Queue(self.prefetch)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
+        try:
+            from pai_tpu.native import png_native
+        except Exception:
+            png_native = None
+
         def assemble(idx: Sequence[int], n_valid: int) -> Batch:
             xs = np.zeros((bs, img, img, 1), np.float32)
             ys = np.zeros((bs, img, img, 1), np.float32)
-            futures = {
-                i: pool.submit(self.dataset.__getitem__, j)
-                for i, j in enumerate(idx) if j >= 0
-            }
-            for i, fut in futures.items():
-                xs[i], ys[i] = fut.result()
+            native_done = False
+            if png_native is not None:
+                # Fast path: one C++ threaded decode of all 2*bs PNGs
+                # (releases the GIL; overlaps with device compute).
+                paths, slots = [], []
+                for i, j in enumerate(idx):
+                    if j >= 0:
+                        pin, pgt = self.dataset.pairs[j]
+                        paths += [pin, pgt]
+                        slots.append(i)
+                try:
+                    flat, failed = png_native.decode_batch(
+                        paths, img, self.dataset.normalize,
+                        num_threads=self.num_workers)
+                    for k, i in enumerate(slots):
+                        if failed[2 * k] or failed[2 * k + 1]:
+                            # exotic PNG -> per-item PIL fallback
+                            xs[i], ys[i] = self.dataset[idx[i]]
+                        else:
+                            xs[i] = flat[2 * k]
+                            ys[i] = flat[2 * k + 1]
+                    native_done = True
+                except Exception:
+                    native_done = False
+            if not native_done:
+                futures = {
+                    i: pool.submit(self.dataset.__getitem__, j)
+                    for i, j in enumerate(idx) if j >= 0
+                }
+                for i, fut in futures.items():
+                    xs[i], ys[i] = fut.result()
             if self.sharding is not None:
                 return Batch(jax.device_put(xs, self.sharding),
                              jax.device_put(ys, self.sharding), n_valid)

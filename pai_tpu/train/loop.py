@@ -110,9 +110,18 @@ class Trainer:
         else:
             train_step = steps_lib.make_gan_train_step(
                 self.generator, self.discriminator, h["loss_type"])
+            # Lean variant without per-step metric evaluation for the 9/10
+            # steps that are never logged (log_every_n_steps=10).
+            self.train_step_lean = jax.jit(
+                steps_lib.make_gan_train_step(
+                    self.generator, self.discriminator, h["loss_type"],
+                    compute_metrics=False),
+                donate_argnums=(0,))
             self.eval_step = jax.jit(
                 steps_lib.make_gan_eval_step(self.generator))
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        if self.is_palette:
+            self.train_step_lean = self.train_step
 
     def init_state(self, rng):
         batch_shape = (self.hparams["batch_size"], self.image_size,
@@ -221,11 +230,12 @@ class Trainer:
             loader.epoch = epoch
             pending = None  # (step, metrics) fetched lazily
             for batch in loader:
-                state, metrics = self.train_step(
-                    state, batch.x, batch.y, train_rng)
+                log_this = (global_step + 1) % 10 == 0
+                step_fn = self.train_step if log_this else self.train_step_lean
+                state, metrics = step_fn(state, batch.x, batch.y, train_rng)
                 global_step += 1
                 images_seen += batch.n_valid
-                if global_step % 10 == 0:
+                if log_this:
                     # fetch and log (only host sync point in the loop)
                     vals = {k: float(v) for k, v in
                             jax.device_get(metrics).items()}

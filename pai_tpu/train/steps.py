@@ -100,7 +100,13 @@ def init_palette_state(unet, rng, batch_shape, use_ema: bool
 # --------------------------------------------------------------------------
 # GAN families
 # --------------------------------------------------------------------------
-def make_gan_train_step(generator, discriminator, loss_type: str):
+def make_gan_train_step(generator, discriminator, loss_type: str,
+                        compute_metrics: bool = True):
+    """``compute_metrics=False`` builds a lean variant without the per-step
+    SSIM/PSNR/RMSE evaluation; the training loop uses it on non-logging
+    steps (the reference computes metrics every step but only records every
+    10th — wrapper.py:150-156 + main.py:126 — so logged values are
+    identical)."""
     g_tx = gan_optimizer()
     d_tx = gan_optimizer()
 
@@ -132,9 +138,16 @@ def make_gan_train_step(generator, discriminator, loss_type: str):
             pred_sg = jax.lax.stop_gradient(pred)
 
             def d_loss_fn(d_params):
-                target_logits = discriminator.apply({"params": d_params}, x, y)
-                pred_logits = discriminator.apply(
-                    {"params": d_params}, x, pred_sg)
+                # One batched D pass over [real | fake]: InstanceNorm is
+                # per-sample, so this is numerically identical to the
+                # reference's two separate calls (wrapper.py:128-129) while
+                # doubling the conv batch for MXU utilisation.
+                both = discriminator.apply(
+                    {"params": d_params},
+                    jnp.concatenate([x, x], axis=0),
+                    jnp.concatenate([y, pred_sg], axis=0))
+                n = x.shape[0]
+                target_logits, pred_logits = both[:n], both[n:]
                 return losses.discriminator_loss(pred_logits, target_logits)
 
             d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
@@ -164,14 +177,14 @@ def make_gan_train_step(generator, discriminator, loss_type: str):
                 else {},
             })
 
-        dp, dt = denormalize(pred), denormalize(y)
-        step_metrics = {
-            "loss": g_loss,
-            "train_ssim": metrics.ssim(dp, dt),
-            "train_psnr": metrics.psnr(dp, dt),
-            "train_rmse": metrics.rmse(dp, dt),
-            **aux_metrics,
-        }
+        step_metrics = {"loss": g_loss, **aux_metrics}
+        if compute_metrics:
+            dp, dt = denormalize(pred), denormalize(y)
+            step_metrics.update(
+                train_ssim=metrics.ssim(dp, dt),
+                train_psnr=metrics.psnr(dp, dt),
+                train_rmse=metrics.rmse(dp, dt),
+            )
         new_state = state.replace(
             step=state.step + 1, g_params=new_g_params, g_stats=new_gstats,
             g_opt=new_g_opt, d_params=new_d_params, d_opt=new_d_opt,
