@@ -1,0 +1,98 @@
+"""SPMD correctness (SURVEY §4 distributed tests): gradients computed on an
+8-device data-parallel mesh must equal single-device gradients on the same
+global batch — XLA's inserted psum is exact up to reduction order, and
+BatchNorm statistics are global either way. (Comparing post-Adam parameters
+is ill-posed: the first Adam step is ~sign(g)*lr, so reduction-order noise
+on near-zero gradients flips whole update quanta.) Also exercises the
+dp x tp (tensor-parallel channel-sharded) mesh of the driver dryrun."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pai_tpu.models import build_generator, Discriminator
+from pai_tpu.train import losses, steps as steps_lib
+from pai_tpu.utils.images import denormalize
+from pai_tpu.utils import metrics as M
+
+MULTS = (1, 2)
+IMG = 32  # PatchGAN needs >= 32px: at 16px its final conv output is empty
+BATCH = 8
+
+
+def _grad_fn(gen, loss_type):
+    def compute(params, stats, x, y):
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": stats}
+            pred, _ = gen.apply(variables, x, train=True,
+                                rngs={"dropout": jax.random.key(0)},
+                                mutable=["batch_stats"])
+            return losses.generator_loss(loss_type, pred, y) \
+                if loss_type != "gan" else jnp.mean(pred ** 2)
+        return jax.value_and_grad(loss_fn)(params)
+    return compute
+
+
+def _setup():
+    gen = build_generator("pix2pix", channel_mults=MULTS)
+    state = steps_lib.init_gan_state(
+        gen, None, jax.random.key(0), (BATCH, IMG, IMG, 1), "mse", False)
+    kx, ky = jax.random.split(jax.random.key(1))
+    x = jax.random.normal(kx, (BATCH, IMG, IMG, 1), jnp.float32)
+    y = jax.random.normal(ky, (BATCH, IMG, IMG, 1), jnp.float32)
+    return gen, state, x, y
+
+
+def _run(devices, fn, params, stats, x, y):
+    mesh = Mesh(np.asarray(devices).reshape(-1), ("dp",))
+    batch_sh = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+    loss, grads = jax.jit(fn)(
+        jax.device_put(params, repl), jax.device_put(stats, repl),
+        jax.device_put(x, batch_sh), jax.device_put(y, batch_sh))
+    return float(loss), jax.device_get(grads)
+
+
+@pytest.mark.parametrize("loss_type", ["mse", "ssim"])
+def test_grad_psum_equivalence(eight_devices, loss_type):
+    gen, state, x, y = _setup()
+    fn = _grad_fn(gen, loss_type)
+    l1, g1 = _run(eight_devices[:1], fn, state.g_params, state.g_stats, x, y)
+    l8, g8 = _run(eight_devices, fn, state.g_params, state.g_stats, x, y)
+    assert l1 == pytest.approx(l8, rel=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_full_train_step_metrics_match(eight_devices):
+    """Step-level: loss and quality metrics identical across mesh layouts."""
+    gen = build_generator("pix2pix", channel_mults=MULTS)
+    disc = Discriminator()
+    state = steps_lib.init_gan_state(
+        gen, disc, jax.random.key(0), (BATCH, IMG, IMG, 1), "gan", False)
+    step = jax.jit(steps_lib.make_gan_train_step(gen, disc, "gan"))
+    kx, ky = jax.random.split(jax.random.key(1))
+    x = jax.random.normal(kx, (BATCH, IMG, IMG, 1), jnp.float32)
+    y = jax.random.normal(ky, (BATCH, IMG, IMG, 1), jnp.float32)
+
+    outs = []
+    for devs in (eight_devices[:1], eight_devices):
+        mesh = Mesh(np.asarray(devs).reshape(-1), ("dp",))
+        batch_sh = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        _, m = step(jax.device_put(state, repl),
+                    jax.device_put(x, batch_sh),
+                    jax.device_put(y, batch_sh), jax.random.key(2))
+        outs.append({k: float(v) for k, v in m.items()})
+    for k in outs[0]:
+        assert outs[0][k] == pytest.approx(outs[1][k], rel=1e-4), k
+
+
+def test_dp_tp_mesh_runs(eight_devices):
+    """The dryrun path: conv output channels Megatron-sharded over 'tp'."""
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
