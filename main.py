@@ -121,6 +121,9 @@ if __name__ == "__main__":
                         help="Resume from the last checkpoint of this run.")
     parser.add_argument("--log-dir", default="logs")
     parser.add_argument("--ckpt-dir", default="checkpoints")
+    parser.add_argument("--profile-dir", default=None,
+                        help="Write a JAX profiler trace of the first "
+                             "training steps to this directory.")
     args = parser.parse_args()
 
     main(args)

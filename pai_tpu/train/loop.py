@@ -222,6 +222,12 @@ class Trainer:
         t0 = time.time()
         images_seen = 0
 
+        profile_dir = h.get("profile_dir")
+        profiling = False
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+
         for epoch in range(start_epoch, h["epochs"]):
             loader = BatchLoader(
                 self.train_dataset, h["batch_size"], shuffle=True,
@@ -240,6 +246,10 @@ class Trainer:
                     vals = {k: float(v) for k, v in
                             jax.device_get(metrics).items()}
                     self.logger.log_metrics(vals, global_step, epoch)
+                if profiling and global_step >= 12:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"[pai_tpu] profile written to {profile_dir}")
                 if max_steps > 0 and global_step >= max_steps:
                     done = True
                     break
@@ -256,6 +266,9 @@ class Trainer:
                                         last_val["val_ssim"])
             if done:
                 break
+
+        if profiling:
+            jax.profiler.stop_trace()
 
         # end-of-fit: persist final state as last
         self.ckpt.save_last(self._state_dict(state), sanitize_hparams(h),
