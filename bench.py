@@ -97,7 +97,73 @@ def bench_pix2pix_sample(batch, dtype):
     return batch * TIMED_STEPS / dt
 
 
+def _bench_generic_train(model_name, loss_type, batch, dtype,
+                         mults=(1, 2, 4, 8, 8, 8, 8, 8), steps=10):
+    from pai_tpu.models import build_generator, Discriminator
+    from pai_tpu.train import steps as steps_lib
+
+    gen = build_generator(model_name, channel_mults=mults, dtype=dtype)
+    disc = Discriminator(dtype=dtype) if loss_type == "gan" else None
+    state = steps_lib.init_gan_state(
+        gen, disc, jax.random.key(0), (batch, IMAGE, IMAGE, 1), loss_type,
+        False)
+    kx, ky = jax.random.split(jax.random.key(1))
+    x = jax.random.normal(kx, (batch, IMAGE, IMAGE, 1), jnp.float32)
+    y = jax.random.normal(ky, (batch, IMAGE, IMAGE, 1), jnp.float32)
+    step = jax.jit(steps_lib.make_gan_train_step(
+        gen, disc, loss_type, compute_metrics=False), donate_argnums=(0,))
+    for _ in range(2):
+        state, m = step(state, x, y, jax.random.key(2))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, x, y, jax.random.key(2))
+    float(m["loss"])
+    return batch * steps / (time.perf_counter() - t0)
+
+
+def _bench_palette(batch, dtype, mults=(1, 1, 2, 2, 4, 4),
+                   attn=(16, 8), steps=8):
+    """Palette train + full 100-step sampling throughput (the palette
+    module's own default width — the CLI-default 8-level config is a ~974M
+    parameter model whose f32 Adam state alone exceeds one v5e's HBM)."""
+    from pai_tpu.models import build_generator
+    from pai_tpu.train import steps as steps_lib
+    from pai_tpu.diffusion import make_schedule
+
+    gen = build_generator("palette", channel_mults=mults, attention_res=attn,
+                          dtype=dtype)
+    sched = make_schedule("linear", 2000, 1e-6, 0.01)
+    sched_inf = make_schedule("cosine", 100)
+    state = steps_lib.init_palette_state(
+        gen, jax.random.key(0), (batch, IMAGE, IMAGE, 1), False)
+    kx, ky = jax.random.split(jax.random.key(1))
+    x = jax.random.normal(kx, (batch, IMAGE, IMAGE, 1), jnp.float32)
+    y = jax.random.normal(ky, (batch, IMAGE, IMAGE, 1), jnp.float32)
+    step = jax.jit(steps_lib.make_palette_train_step(gen, sched, False),
+                   donate_argnums=(0,))
+    for _ in range(2):
+        state, m = step(state, x, y, jax.random.key(2))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, x, y, jax.random.key(2))
+    float(m["loss"])
+    train_ips = batch * steps / (time.perf_counter() - t0)
+
+    sample = jax.jit(steps_lib.make_palette_sample_step(gen, sched_inf, False))
+    _, pm = sample(state.params, state.stats, x, y, jax.random.key(3))
+    float(pm["ssim"][0])
+    t0 = time.perf_counter()
+    _, pm = sample(state.params, state.stats, x, y, jax.random.key(4))
+    float(pm["ssim"][0])
+    sample_ips = batch / (time.perf_counter() - t0)
+    return train_ips, sample_ips
+
+
 def main():
+    import os
+
     train_bf16 = bench_pix2pix_train(128, jnp.bfloat16)
     sample_ips = bench_pix2pix_sample(128, jnp.bfloat16)
     result = {
@@ -111,6 +177,16 @@ def main():
         "baseline_note": "vs_baseline = value / (2 x ~550 img/s A100 est)",
         "backend": jax.default_backend(),
     }
+    if os.environ.get("BENCH_FULL"):
+        # The remaining BASELINE.json configs (each adds a long compile).
+        result["res18_mse_train_images_per_sec"] = round(
+            _bench_generic_train("res18_unet", "mse", 64, jnp.bfloat16), 2)
+        result["attention_ssim_psnr_train_images_per_sec"] = round(
+            _bench_generic_train("attention_unet", "ssim+psnr", 64,
+                                 jnp.bfloat16), 2)
+        pal_train, pal_sample = _bench_palette(8, jnp.bfloat16)
+        result["palette_train_images_per_sec"] = round(pal_train, 2)
+        result["palette_sample100_images_per_sec"] = round(pal_sample, 3)
     print(json.dumps(result))
 
 

@@ -167,6 +167,22 @@ def test_vlb_t0_uses_nll():
     assert np.isfinite(v).all()
 
 
+def test_sampler_process_capture():
+    """output_process capture (palette.py:79-100): y_T plus every
+    (T // 7)-th step's frame."""
+    sched = make_schedule("cosine", 14)
+
+    def denoise(x, y_t, gamma):
+        return 0.05 * y_t
+
+    x = jnp.zeros((1, 8, 8, 1))
+    y0, process = ddpm_sample(sched, denoise, x, jax.random.key(3),
+                              capture_every=sched.timesteps // 7)
+    # frames at t % 2 == 0: t = 12,10,8,6,4,2,0 -> 7 frames + initial y_T
+    assert process.shape == (1, 8, 8, 8, 1)
+    np.testing.assert_array_equal(np.asarray(process[:, -1]), np.asarray(y0))
+
+
 def test_sampler_shapes_and_determinism():
     sched = make_schedule("cosine", 8)
 

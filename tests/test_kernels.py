@@ -26,6 +26,42 @@ def test_flash_attention_forward_parity():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_ssim_parity():
+    """Fused Pallas SSIM (interpret mode) == torchmetrics-parity reference."""
+    from pai_tpu.kernels.ssim_pallas import _fused_forward
+    from pai_tpu.utils.metrics import ssim_parts
+
+    kx, ky = jax.random.split(jax.random.key(3))
+    p = jax.random.uniform(kx, (3, 64, 64, 1))
+    t = jax.random.uniform(ky, (3, 64, 64, 1))
+    m_ref, f_ref = ssim_parts(p, t)
+    m_got, f_got = _fused_forward(p, t, interpret=True)
+    np.testing.assert_allclose(np.asarray(m_got), np.asarray(m_ref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(f_got), np.asarray(f_ref),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fused_ssim_gradient_matches_reference():
+    """custom_vjp backward (recompute through the XLA reference) must match
+    grad of the reference — SSIM is a training loss (wrapper.py:53-63)."""
+    from pai_tpu.kernels import ssim_pallas
+    from pai_tpu.utils.metrics import ssim_parts
+
+    kx, ky = jax.random.split(jax.random.key(4))
+    p = jax.random.uniform(kx, (2, 32, 32, 1))
+    t = jax.random.uniform(ky, (2, 32, 32, 1))
+
+    g_ref = jax.grad(lambda a: -jnp.mean(ssim_parts(a, t)[0]))(p)
+    # exercise the vjp rule directly (forward would need a TPU)
+    out, vjp = jax.vjp(lambda a: ssim_parts(a, t), p)
+    cot = (jnp.full_like(out[0], -1.0 / out[0].shape[0]),
+           jnp.zeros_like(out[1]))
+    g_rule = ssim_pallas._bwd((p, t), cot)[0]
+    np.testing.assert_allclose(np.asarray(g_rule), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_flash_attention_backward_rule_parity():
     """The custom_vjp backward (recompute via the XLA reference) must equal
     the gradient of full attention."""

@@ -126,6 +126,17 @@ def test_palette_end_to_end(tmp_path, synthetic_manifest):
     assert any(r.get("val_ssim") for r in rows)
 
 
+def test_bf16_precision_policy(tmp_path, synthetic_manifest):
+    """--precision bf16: bfloat16 compute, float32 params/metrics."""
+    from pai_tpu.train.loop import fit
+
+    train, val = synthetic_manifest
+    h = _hparams(tmp_path, train, val, precision="bf16", epochs=1,
+                 val_epochs=1)
+    summary = fit(h)
+    assert np.isfinite(summary["val_ssim"])
+
+
 def test_loss_decreases(tmp_path, synthetic_manifest):
     from pai_tpu.train.loop import fit
 
