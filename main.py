@@ -124,6 +124,9 @@ if __name__ == "__main__":
     parser.add_argument("--profile-dir", default=None,
                         help="Write a JAX profiler trace of the first "
                              "training steps to this directory.")
+    parser.add_argument("--tp", default=1, type=int,
+                        help="Tensor-parallel degree (Megatron channel "
+                             "sharding over the mesh 'tp' axis).")
     args = parser.parse_args()
 
     main(args)

@@ -29,6 +29,8 @@ TRAIN_DEFAULTS: Dict = {
     "resume": False,
     "log_dir": "logs",
     "ckpt_dir": "checkpoints",
+    "tp": 1,
+    "profile_dir": None,
 }
 
 

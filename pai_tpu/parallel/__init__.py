@@ -13,3 +13,7 @@ from pai_tpu.parallel.mesh import (
     shard_batch,
     place_replicated,
 )
+from pai_tpu.parallel.partitioning import (
+    tp_spec_for_leaf,
+    shard_tree_for_tp,
+)

@@ -138,15 +138,21 @@ def run_report(name: str, checkpoint: Optional[str], data: str,
 
     # Per-image metrics + full SSIM maps, in chunks of 64 (report.py:77-96).
     ssims, psnrs, mses, ssim_maps = [], [], [], []
-    chunked = jax.jit(lambda p, t: metrics.ssim_parts(p, t))
+
+    @jax.jit
+    def chunk_metrics(p, t):
+        per_image, full = metrics.ssim_parts(p, t)
+        return (per_image, full, metrics.psnr_per_image(p, t),
+                metrics.mse_per_image(p, t))
+
     for start in range(0, preds.shape[0], 64):
         p = jnp.asarray(preds[start:start + 64])
         t = jnp.asarray(targets[start:start + 64])
-        per_image, full = chunked(p, t)
+        per_image, full, per_psnr, per_mse = chunk_metrics(p, t)
         ssims.append(np.asarray(per_image))
         ssim_maps.append(np.asarray(full))
-        psnrs.append(np.asarray(metrics.psnr_per_image(p, t)))
-        mses.append(np.asarray(metrics.mse_per_image(p, t)))
+        psnrs.append(np.asarray(per_psnr))
+        mses.append(np.asarray(per_mse))
     ssims = np.concatenate(ssims)
     psnrs = np.concatenate(psnrs)
     mses = np.concatenate(mses)

@@ -34,7 +34,7 @@ from pai_tpu.models import Discriminator, build_generator
 from pai_tpu.parallel import (
     batch_sharding,
     make_mesh,
-    place_replicated,
+    shard_tree_for_tp,
 )
 from pai_tpu.train import steps as steps_lib
 from pai_tpu.utils.checkpoint import CheckpointManager
@@ -44,11 +44,6 @@ from pai_tpu.utils.logging import CSVLogger
 IMAGE_SIZE = 256
 IN_CHANNELS = 1
 OUT_CHANNELS = 1
-
-
-def _mean_of(per_image_metrics, n_valid_total):
-    return {f"val_{k}": float(v / n_valid_total)
-            for k, v in per_image_metrics.items()}
 
 
 class Trainer:
@@ -65,13 +60,18 @@ class Trainer:
         self.mults = parse_int_list(hparams["channel_mults"])
         self.attn_res = parse_int_list(hparams["attention_res"])
 
-        # Data-parallel degree: the largest device count that divides the
+        # Mesh: 'tp' from --tp (tensor parallel, Megatron channel sharding);
+        # data-parallel degree = the largest device count that divides the
         # global batch (reference trains unsharded, dataset.py drop_last=False).
         import math as _math
 
         devices = jax.devices()
-        dp = _math.gcd(hparams["batch_size"], len(devices))
-        self.mesh = make_mesh(devices[:dp])
+        self.tp = int(hparams.get("tp", 1) or 1)
+        if len(devices) % self.tp:
+            raise ValueError(
+                f"--tp {self.tp} does not divide {len(devices)} devices")
+        dp = _math.gcd(hparams["batch_size"], len(devices) // self.tp)
+        self.mesh = make_mesh(devices[:dp * self.tp], tp=self.tp)
         self.batch_shard = batch_sharding(self.mesh)
 
         self.generator = build_generator(
@@ -133,7 +133,7 @@ class Trainer:
             state = steps_lib.init_gan_state(
                 self.generator, self.discriminator, rng, batch_shape,
                 self.hparams["loss_type"], self.hparams["ema"])
-        return place_replicated(self.mesh, state)
+        return shard_tree_for_tp(state, self.mesh, self.tp)
 
     # ------------------------------------------------------------------
     def _state_dict(self, state):
@@ -144,6 +144,14 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def validate(self, state, epoch: int) -> Dict[str, float]:
+        """Eval-mode pass over the val set.
+
+        Aggregation note (documented deviation): the reference logs
+        torchmetrics batch scalars that Lightning averages per epoch with
+        equal batch weights; here val_ssim/val_psnr are exact means over
+        per-image values and val_rmse is the sqrt of the global MSE — the
+        difference appears only on ragged final batches and is below the
+        1e-3 parity budget."""
         h = self.hparams
         val_loader = BatchLoader(
             self.val_dataset, h["batch_size"], shuffle=False,
@@ -207,8 +215,8 @@ class Trainer:
             try:
                 restored, meta = self.ckpt.restore(
                     "last", self._state_dict(state))
-                state = place_replicated(
-                    self.mesh, self._restore_state(state, restored))
+                state = shard_tree_for_tp(
+                    self._restore_state(state, restored), self.mesh, self.tp)
                 start_epoch = meta["epoch"] + 1
                 print(f"[pai_tpu] resumed from epoch {meta['epoch']} "
                       f"(step {meta['step']})")
@@ -228,6 +236,7 @@ class Trainer:
             jax.profiler.start_trace(profile_dir)
             profiling = True
 
+        epoch = start_epoch - 1  # resume may already satisfy the epoch budget
         for epoch in range(start_epoch, h["epochs"]):
             loader = BatchLoader(
                 self.train_dataset, h["batch_size"], shuffle=True,

@@ -96,3 +96,31 @@ def test_dp_tp_mesh_runs(eight_devices):
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_trainer_tp_flag(eight_devices, tmp_path):
+    """--tp 2: end-to-end training with tensor-parallel param sharding."""
+    from pai_tpu.train.loop import fit
+    from pai_tpu.utils.images import write_png
+
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(8):
+        img = rng.integers(0, 255, size=(32, 32), dtype=np.uint8)
+        write_png(img, str(tmp_path / f"in_{i}.png"))
+        write_png(255 - img, str(tmp_path / f"gt_{i}.png"))
+        entries.append(f"- input: in_{i}.png\n  ground_truth: gt_{i}.png\n")
+    (tmp_path / "d.yaml").write_text("".join(entries))
+
+    h = {
+        "name": "tprun", "data": str(tmp_path / "d.yaml"),
+        "val_data": str(tmp_path / "d.yaml"), "epochs": 1, "steps": -1,
+        "batch_size": 4, "val_epochs": 1, "precision": "32", "ema": False,
+        "channel_mults": "1,2", "attention_res": "2", "dropout": 0.0,
+        "loss_type": "mse", "schedule_type": "linear",
+        "learn_variance": False, "model": "pix2pix", "seed": 0,
+        "resume": False, "image_size": 32, "tp": 2,
+        "log_dir": str(tmp_path / "logs"), "ckpt_dir": str(tmp_path / "ck"),
+    }
+    summary = fit(h)
+    assert np.isfinite(summary["val_ssim"])
