@@ -116,6 +116,7 @@ class BatchLoader:
         self.prefetch = prefetch
         self.sharding = sharding
         self.epoch = 0
+        self._pool: Optional[ThreadPoolExecutor] = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -147,7 +148,11 @@ class BatchLoader:
             batches.append((idx, n_valid))
 
         out_q: "queue.Queue[Optional[Batch]]" = queue.Queue(self.prefetch)
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        # One pool per loader, reused across epochs (a 200-epoch run would
+        # otherwise spin up 200 pools).
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        pool = self._pool
 
         try:
             from pai_tpu.native import png_native
@@ -210,4 +215,3 @@ class BatchLoader:
                 yield item
         finally:
             thread.join(timeout=1.0)
-            pool.shutdown(wait=False, cancel_futures=True)

@@ -236,13 +236,14 @@ class Trainer:
             jax.profiler.start_trace(profile_dir)
             profiling = True
 
+        loader = BatchLoader(
+            self.train_dataset, h["batch_size"], shuffle=True,
+            pad_mode="cycle", seed=h.get("seed", 0),
+            sharding=self.batch_shard)
+
         epoch = start_epoch - 1  # resume may already satisfy the epoch budget
         for epoch in range(start_epoch, h["epochs"]):
-            loader = BatchLoader(
-                self.train_dataset, h["batch_size"], shuffle=True,
-                pad_mode="cycle", seed=h.get("seed", 0),
-                sharding=self.batch_shard)
-            loader.epoch = epoch
+            loader.epoch = epoch  # deterministic per-epoch shuffle
             pending = None  # (step, metrics) fetched lazily
             for batch in loader:
                 log_this = (global_step + 1) % 10 == 0
