@@ -1,0 +1,183 @@
+"""Library facade mirroring the reference's Python class surface.
+
+The reference exposes five Lightning classes — ``Pix2Pix``,
+``AttentionUnetGAN``, ``ResUnetGAN``, ``TransUnetGAN`` (models/*.py, all
+``UnetWrapper`` subclasses) and ``Palette`` (models/palette.py) — each
+constructed from hyperparameters, trained with ``trainer.fit`` and reloaded
+with ``load_from_checkpoint``. This module provides the same names with the
+same constructor vocabulary on top of the functional pai_tpu engine:
+
+    model = Pix2Pix(in_channels=1, out_channels=1, loss_type="gan")
+    model.fit(name="run1", data="train.yaml", val_data="val.yaml", epochs=10)
+    pred = model.predict(x)                      # NHWC in [-1, 1]
+    model = Pix2Pix.load_from_checkpoint("checkpoints/run1/best")
+
+Checkpoints are argument-free reloadable (hyperparameters embedded), exactly
+like the reference's save_hyperparameters/load_from_checkpoint pair
+(report.py:26-43).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from pai_tpu.config import TRAIN_DEFAULTS, compute_dtype
+from pai_tpu.models import build_generator
+from pai_tpu.train import steps as steps_lib
+from pai_tpu.train.loop import Trainer
+
+
+class _Experiment:
+    """Shared engine-facing logic for the five public classes."""
+
+    model_name: str = ""
+
+    def __init__(self, in_channels: int = 1, out_channels: int = 1,
+                 channel_mults: Sequence[int] = (1, 2, 4, 8, 8, 8, 8, 8),
+                 attention_res: Sequence[int] = (8, 4, 2),
+                 dropout: float = 0.0, loss_type: str = "gan",
+                 schedule_type: str = "linear", learn_var: bool = False,
+                 precision: str = "32", image_size: int = 256,
+                 res_type: Optional[str] = None):
+        if res_type is not None:
+            self.model_name = f"res{res_type}_unet"
+        self.hparams: Dict = dict(
+            TRAIN_DEFAULTS,
+            model=self.model_name,
+            channel_mults=",".join(str(m) for m in channel_mults),
+            attention_res=",".join(str(a) for a in attention_res),
+            dropout=dropout, loss_type=loss_type,
+            schedule_type=schedule_type, learn_variance=learn_var,
+            precision=precision, image_size=image_size,
+        )
+        self.image_size = image_size
+        self._params = None
+        self._stats = None
+
+    # -- construction helpers ------------------------------------------
+    def _build_module(self):
+        from pai_tpu.config import parse_int_list
+
+        return build_generator(
+            self.model_name, 1, 1,
+            channel_mults=parse_int_list(self.hparams["channel_mults"]),
+            attention_res=parse_int_list(self.hparams["attention_res"]),
+            dropout=self.hparams["dropout"],
+            learn_var=self.hparams.get("learn_variance", False),
+            image_size=self.image_size,
+            dtype=compute_dtype(self.hparams["precision"]))
+
+    # -- training -------------------------------------------------------
+    def fit(self, name: str, data: str, val_data: Optional[str] = None,
+            **overrides) -> Dict[str, float]:
+        h = dict(self.hparams, name=name, data=str(data),
+                 val_data=str(val_data) if val_data else None, **overrides)
+        trainer = Trainer(h)
+        summary = trainer.fit()
+        # adopt the trained weights for predict()
+        try:
+            ckpt = trainer.ckpt.restore("last")[0]
+            self._adopt_state_dict(ckpt)
+        except Exception:
+            pass
+        return summary
+
+    def _adopt_state_dict(self, state_dict) -> None:
+        from flax import serialization
+
+        module = self._build_module()
+        rng = jax.random.key(0)
+        shape = (1, self.image_size, self.image_size, 1)
+        if self.model_name == "palette":
+            template = steps_lib.init_palette_state(
+                module, rng, shape, self.hparams.get("ema", False))
+            state = serialization.from_state_dict(template, state_dict)
+            self._params = steps_lib.palette_eval_params(state)
+            self._stats = state.stats
+        else:
+            from pai_tpu.models import Discriminator
+
+            disc = Discriminator() \
+                if self.hparams.get("loss_type") == "gan" else None
+            template = steps_lib.init_gan_state(
+                module, disc, rng, shape, self.hparams.get("loss_type", "gan"),
+                self.hparams.get("ema", False))
+            state = serialization.from_state_dict(template, state_dict)
+            self._params = steps_lib.gan_eval_params(state)
+            self._stats = state.g_stats
+        self._module = module
+
+    @classmethod
+    def load_from_checkpoint(cls, path: str):
+        """Rebuild the model purely from a checkpoint (report.py:26-43)."""
+        from pai_tpu.utils.checkpoint import load_checkpoint
+        from pai_tpu.config import parse_int_list
+
+        state_dict, meta = load_checkpoint(str(path))
+        h = meta["hparams"]
+        obj = cls.__new__(cls)
+        if not obj.model_name:
+            obj.model_name = h["model"]
+        obj.hparams = dict(TRAIN_DEFAULTS, **h)
+        obj.image_size = int(h.get("image_size") or 256)
+        obj._params = None
+        obj._stats = None
+        obj._adopt_state_dict(state_dict)
+        return obj
+
+    # -- inference ------------------------------------------------------
+    def predict(self, x, rng: Optional[jax.Array] = None):
+        """Eval-mode prediction on an NHWC batch in [-1, 1]."""
+        if self._params is None:
+            raise ValueError("no weights: call fit() or load_from_checkpoint")
+        variables = {"params": self._params}
+        if self._stats:
+            variables["batch_stats"] = self._stats
+        if self.model_name == "palette":
+            from pai_tpu.diffusion import ddpm_sample, make_schedule
+
+            sched_inf = make_schedule("cosine", 100)
+            rng = rng if rng is not None else jax.random.key(0)
+
+            def denoise(c, y_t, gamma):
+                return self._module.apply(variables, c, y_t, gamma,
+                                          train=False)
+
+            return ddpm_sample(sched_inf, denoise, jnp.asarray(x), rng,
+                               self.hparams.get("learn_variance", False))
+        return self._module.apply(variables, jnp.asarray(x), train=False)
+
+    __call__ = predict
+
+
+class Pix2Pix(_Experiment):
+    model_name = "pix2pix"
+
+
+class AttentionUnetGAN(_Experiment):
+    model_name = "attention_unet"
+
+
+class ResUnetGAN(_Experiment):
+    model_name = "res18_unet"  # default; res_type kwarg selects the block
+
+
+class TransUnetGAN(_Experiment):
+    model_name = "trans_unet"
+
+
+class Palette(_Experiment):
+    model_name = "palette"
+
+    def __init__(self, in_channels: int = 1, out_channels: int = 1,
+                 channel_mults: Sequence[int] = (1, 1, 2, 2, 4, 4),
+                 attention_res: Sequence[int] = (16, 8),
+                 dropout: float = 0.1, schedule_type: str = "linear",
+                 learn_var: bool = False, precision: str = "32",
+                 image_size: int = 256):
+        super().__init__(in_channels, out_channels, channel_mults,
+                         attention_res, dropout, "mse", schedule_type,
+                         learn_var, precision, image_size)

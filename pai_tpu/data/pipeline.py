@@ -198,12 +198,28 @@ class BatchLoader:
                              jax.device_put(ys, self.sharding), n_valid)
             return Batch(xs, ys, n_valid)
 
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that aborts when the consumer has gone away, so
+            an early break (max-steps) cannot leave the producer pinned on a
+            full queue holding device batches."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for idx, n_valid in batches:
-                    out_q.put(assemble(idx, n_valid))
-            finally:
-                out_q.put(None)
+                    if not _put(assemble(idx, n_valid)):
+                        return
+                _put(None)
+            except BaseException as exc:  # propagate to the consumer
+                _put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -212,6 +228,11 @@ class BatchLoader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
-            thread.join(timeout=1.0)
+            stop.set()
+            thread.join(timeout=5.0)
+            while not out_q.empty():  # release any queued device batches
+                out_q.get_nowait()

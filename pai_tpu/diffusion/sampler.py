@@ -53,14 +53,16 @@ def ddpm_sample(
         out = y_prev if capture_every else None
         return (y_prev, key), out
 
-    ts = jnp.arange(sched.timesteps - 1, -1, -1)
+    ts_py = list(range(sched.timesteps - 1, -1, -1))
+    ts = jnp.asarray(ts_py)
     (y_0, _), frames = jax.lax.scan(step, (y_T, rng), ts)
 
     if capture_every:
         # Reference captures y_T first, then y_t whenever t % (T//7) == 0
-        # (palette.py:88-95).
-        idx = [int(i) for i in ts if int(i) % capture_every == 0]
-        keep = jnp.array([list(ts).index(i) for i in idx], jnp.int32)
+        # (palette.py:88-95). Static Python indices so this stays jittable.
+        keep = jnp.asarray(
+            [pos for pos, t in enumerate(ts_py) if t % capture_every == 0],
+            jnp.int32)
         process = jnp.concatenate(
             [y_T[:, None], frames[keep].swapaxes(0, 1)], axis=1)
         return y_0, process

@@ -88,12 +88,12 @@ class ResBlock(nn.Module):
         elif self.down:
             h = avg_pool_2x(h)
             x = avg_pool_2x(x)
-        h = Conv(self.out_channels, 3, padding=1, dtype=self.dtype,
-                 name="conv_in")(h)
+        h = Conv(self.out_channels, 3, padding=1, init_mode="torch",
+                 dtype=self.dtype, name="conv_in")(h)
 
         # FiLM: scale-shift from the embedding (unet.py:206-210).
-        emb_out = Dense(2 * self.out_channels, dtype=self.dtype,
-                        name="emb_proj")(silu(emb))
+        emb_out = Dense(2 * self.out_channels, init_mode="torch",
+                        dtype=self.dtype, name="emb_proj")(silu(emb))
         scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
 
         h = BatchNorm(use_running_average=not train, name="norm_out")(h)
@@ -104,7 +104,8 @@ class ResBlock(nn.Module):
                      name="conv_out")(h)
 
         if in_ch != self.out_channels:
-            x = Conv(self.out_channels, 1, dtype=self.dtype, name="skip")(x)
+            x = Conv(self.out_channels, 1, init_mode="torch",
+                     dtype=self.dtype, name="skip")(x)
         return x + h
 
 
@@ -121,7 +122,8 @@ class AttentionBlock(nn.Module):
         tokens = x.reshape(n, hh * ww, c)
 
         h = BatchNorm(use_running_average=not train, name="norm")(tokens)
-        qkv = Dense(3 * c, dtype=self.dtype, name="qkv")(h)
+        qkv = Dense(3 * c, init_mode="torch", dtype=self.dtype,
+                    name="qkv")(h)
         qkv = qkv.reshape(n, hh * ww, self.num_heads, 3,
                           c // self.num_heads)
         q = qkv[:, :, :, 0].transpose(0, 2, 1, 3)
@@ -159,15 +161,18 @@ class DiffusionUNet(nn.Module):
         inner = self.inner_channel
 
         emb = gamma_embedding(gammas, inner)
-        emb = Dense(4 * inner, dtype=self.dtype, name="cond_embed_0")(emb)
+        emb = Dense(4 * inner, init_mode="torch", dtype=self.dtype,
+                    name="cond_embed_0")(emb)
         emb = silu(emb)
-        emb = Dense(4 * inner, dtype=self.dtype, name="cond_embed_1")(emb)
+        emb = Dense(4 * inner, init_mode="torch", dtype=self.dtype,
+                    name="cond_embed_1")(emb)
 
         h = jnp.concatenate([x, y], axis=-1).astype(self.dtype)
 
         # ---- input blocks (unet.py:418-473) ----
         ch = input_ch = mults[0] * inner
-        h = Conv(ch, 3, padding=1, dtype=self.dtype, name="in_conv")(h)
+        h = Conv(ch, 3, padding=1, init_mode="torch",
+                 dtype=self.dtype, name="in_conv")(h)
         hs = [h]
         blk = 0
         ds = 1

@@ -36,9 +36,32 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-# The reference initialises all conv / linear weights as N(0, 0.02)
-# (models/utils.py:15-20).
+# The reference initialises GAN-family conv / linear weights as N(0, 0.02)
+# (models/utils.py:15-20, applied at wrapper.py:35-37). The Palette model is
+# NOT passed through init_weights — it keeps torch's default
+# kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)) for both kernel and bias
+# — so Conv/Dense take an ``init_mode``: "normal002" (GAN families) or
+# "torch" (diffusion UNet).
 normal_init = nn.initializers.normal(stddev=0.02)
+
+
+def torch_kaiming_uniform(key, shape, dtype=jnp.float32):
+    """torch nn.Conv2d / nn.Linear default weight init: U(+-1/sqrt(fan_in)),
+    fan_in = prod(shape[:-1]) for HWIO kernels and (in, out) dense."""
+    import numpy as np
+
+    fan_in = int(np.prod(shape[:-1]))
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 def leaky_relu(x, negative_slope: float = 0.2):
@@ -62,16 +85,21 @@ class Conv(nn.Module):
     padding: int = 0
     groups: int = 1
     use_bias: bool = True
+    init_mode: str = "normal002"  # "normal002" | "torch"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         in_ch = x.shape[-1]
-        kernel = self.param(
-            "kernel", normal_init, (k, k, in_ch // self.groups, self.features),
-            jnp.float32,
-        )
+        kshape = (k, k, in_ch // self.groups, self.features)
+        if self.init_mode == "torch":
+            kernel_init = torch_kaiming_uniform
+            bias_init = _torch_bias_init(k * k * in_ch // self.groups)
+        else:
+            kernel_init = normal_init
+            bias_init = nn.initializers.zeros
+        kernel = self.param("kernel", kernel_init, kshape, jnp.float32)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -81,9 +109,7 @@ class Conv(nn.Module):
             feature_group_count=self.groups,
         )
         if self.use_bias:
-            bias = self.param(
-                "bias", nn.initializers.zeros, (self.features,), jnp.float32
-            )
+            bias = self.param("bias", bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
         return y
 
@@ -196,20 +222,28 @@ class Dropout2d(nn.Module):
 
 
 class Dense(nn.Module):
-    """Linear layer with N(0, 0.02) kernel init (reference init_weights covers
-    nn.Linear, models/utils.py:15-20)."""
+    """Linear layer. init_mode "normal002" = reference init_weights
+    (models/utils.py:15-20); "torch" = torch nn.Linear default (used by the
+    diffusion UNet, which the reference never re-initialises)."""
 
     features: int
     use_bias: bool = True
+    init_mode: str = "normal002"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.init_mode == "torch":
+            kernel_init = torch_kaiming_uniform
+            bias_init = _torch_bias_init(x.shape[-1])
+        else:
+            kernel_init = normal_init
+            bias_init = nn.initializers.zeros
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
-            kernel_init=normal_init,
-            bias_init=nn.initializers.zeros,
+            kernel_init=kernel_init,
+            bias_init=bias_init,
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)

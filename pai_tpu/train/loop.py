@@ -79,7 +79,7 @@ class Trainer:
             channel_mults=self.mults, attention_res=self.attn_res,
             dropout=hparams["dropout"],
             learn_var=hparams.get("learn_variance", False),
-            image_size=image_size, dtype=self.dtype)
+            image_size=self.image_size, dtype=self.dtype)
         self.discriminator = (
             Discriminator(dtype=self.dtype)
             if (not self.is_palette and hparams["loss_type"] == "gan")
@@ -153,9 +153,7 @@ class Trainer:
         difference appears only on ragged final batches and is below the
         1e-3 parity budget."""
         h = self.hparams
-        val_loader = BatchLoader(
-            self.val_dataset, h["batch_size"], shuffle=False,
-            pad_mode="zero", sharding=self.batch_shard)
+        val_loader = self.val_loader
         sums = {"ssim": 0.0, "psnr": 0.0, "mse": 0.0}
         total = 0
         out_index = 0
@@ -205,6 +203,11 @@ class Trainer:
         self.train_dataset = ImageDataset(h["data"], self.image_size)
         self.val_dataset = ImageDataset(h["val_data"], self.image_size) \
             if h.get("val_data") else None
+        # One val loader for the whole fit (thread pool reused per epoch).
+        self.val_loader = BatchLoader(
+            self.val_dataset, h["batch_size"], shuffle=False,
+            pad_mode="zero", sharding=self.batch_shard) \
+            if self.val_dataset else None
 
         rng = jax.random.key(h.get("seed", 0))
         rng, init_rng, train_rng = jax.random.split(rng, 3)
@@ -244,7 +247,6 @@ class Trainer:
         epoch = start_epoch - 1  # resume may already satisfy the epoch budget
         for epoch in range(start_epoch, h["epochs"]):
             loader.epoch = epoch  # deterministic per-epoch shuffle
-            pending = None  # (step, metrics) fetched lazily
             for batch in loader:
                 log_this = (global_step + 1) % 10 == 0
                 step_fn = self.train_step if log_this else self.train_step_lean

@@ -25,6 +25,7 @@ class CSVLogger:
         self._path = os.path.join(self.log_dir, "metrics.csv")
         self._fieldnames: list[str] = ["epoch", "step"]
         self._rows: list[dict] = []
+        self._appendable = False  # header not yet on disk
 
     def log_hparams(self, hparams: Dict) -> None:
         with open(os.path.join(self.log_dir, "hparams.yaml"), "w") as f:
@@ -35,17 +36,24 @@ class CSVLogger:
         row = {"step": step}
         if epoch is not None:
             row["epoch"] = epoch
+        new_fields = False
         for k, v in metrics.items():
             row[k] = float(v)
             if k not in self._fieldnames:
                 self._fieldnames.append(k)
+                new_fields = True
         self._rows.append(row)
-        self._flush()
+        if new_fields or not self._appendable:
+            self._rewrite()
+        else:
+            with open(self._path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._fieldnames).writerow(row)
 
-    def _flush(self) -> None:
-        # Rewrite with the union header (cheap at these row counts and keeps
-        # the file valid after new metric keys appear mid-run).
+    def _rewrite(self) -> None:
+        # Full rewrite only when the header gains a column; steady-state
+        # logging appends a single row (O(n) total IO, not O(n^2)).
         with open(self._path, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=self._fieldnames)
             writer.writeheader()
             writer.writerows(self._rows)
+        self._appendable = True

@@ -166,11 +166,13 @@ def depth_ssim(preds, targets, num_depths: int = 16):
     (n-1) estimator like torch.std.
     """
     h = preds.shape[1]
-    band = h // num_depths
+    # torch.chunk semantics (report.py:202): ceil-sized bands, short last.
+    band = -(-h // num_depths)
     out = []
     for d in range(num_depths):
-        sl = slice(d * band, (d + 1) * band) if d < num_depths - 1 else \
-            slice(d * band, h)
+        sl = slice(d * band, min((d + 1) * band, h))
+        if sl.start >= h:
+            break
         per_image, _ = ssim_parts(preds[:, sl], targets[:, sl])
         mean = jnp.mean(per_image)
         n = per_image.shape[0]

@@ -1,0 +1,60 @@
+"""Library-facade tests: the reference's Python class surface (Pix2Pix /
+ResUnetGAN / Palette...) — construct, fit, predict, load_from_checkpoint."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pai_tpu.utils.images import write_png
+
+
+@pytest.fixture()
+def dataset(tmp_path):
+    rng = np.random.default_rng(7)
+    entries = []
+    for i in range(8):
+        x = rng.integers(0, 255, size=(32, 32), dtype=np.uint8)
+        write_png(x, str(tmp_path / f"in_{i}.png"))
+        write_png(255 - x, str(tmp_path / f"gt_{i}.png"))
+        entries.append(f"- input: in_{i}.png\n  ground_truth: gt_{i}.png\n")
+    (tmp_path / "d.yaml").write_text("".join(entries))
+    return str(tmp_path / "d.yaml")
+
+
+def test_pix2pix_fit_predict_reload(tmp_path, dataset):
+    from pai_tpu.api import Pix2Pix
+
+    model = Pix2Pix(channel_mults=(1, 2), loss_type="mse", image_size=32)
+    summary = model.fit(
+        "apirun", dataset, dataset, epochs=1, batch_size=4, val_epochs=1,
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ck"))
+    assert np.isfinite(summary["val_ssim"])
+
+    x = jnp.zeros((2, 32, 32, 1))
+    pred = model.predict(x)
+    assert pred.shape == (2, 32, 32, 1)
+
+    reloaded = Pix2Pix.load_from_checkpoint(tmp_path / "ck" / "apirun" / "best")
+    pred2 = reloaded.predict(x)
+    assert pred2.shape == (2, 32, 32, 1)
+    # last checkpoint == best checkpoint here (single validation)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pred2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_res_unet_res_type_selection():
+    from pai_tpu.api import ResUnetGAN
+
+    model = ResUnetGAN(res_type="next", channel_mults=(1, 2), loss_type="mse",
+                       image_size=32)
+    assert model.model_name == "resnext_unet"
+    assert model.hparams["model"] == "resnext_unet"
+
+
+def test_palette_constructor_defaults():
+    from pai_tpu.api import Palette
+
+    model = Palette(channel_mults=(1, 2), attention_res=(2,), image_size=32)
+    assert model.model_name == "palette"
+    assert model.hparams["attention_res"] == "2"
