@@ -270,6 +270,10 @@ class Trainer:
                 last_val = self.validate(state, epoch)
                 if last_val:
                     self.logger.log_metrics(last_val, global_step, epoch)
+                    print(f"[pai_tpu] epoch {epoch + 1} step {global_step}: "
+                          + " ".join(f"{k}={v:.4f}"
+                                     for k, v in last_val.items()),
+                          flush=True)
                     sd = self._state_dict(state)
                     hp = sanitize_hparams(h)
                     self.ckpt.maybe_save_best(

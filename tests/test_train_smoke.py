@@ -126,6 +126,18 @@ def test_palette_end_to_end(tmp_path, synthetic_manifest):
     assert any(r.get("val_ssim") for r in rows)
 
 
+def test_palette_resume(tmp_path, synthetic_manifest):
+    """Palette checkpoint/resume round trip (no sampling: val_epochs high)."""
+    from pai_tpu.train.loop import fit
+
+    train, val = synthetic_manifest
+    h = _hparams(tmp_path, train, val, model="palette", epochs=1,
+                 val_epochs=99, ema=True)
+    s1 = fit(h)
+    s2 = fit(dict(h, resume=True, epochs=2))
+    assert s2["steps"] == 2 * s1["steps"]
+
+
 def test_bf16_precision_policy(tmp_path, synthetic_manifest):
     """--precision bf16: bfloat16 compute, float32 params/metrics."""
     from pai_tpu.train.loop import fit
