@@ -98,6 +98,25 @@ def test_dp_tp_mesh_runs(eight_devices):
     dryrun_multichip(8)
 
 
+def test_ring_attention_matches_full(eight_devices):
+    """Sequence-parallel ring attention over 8 devices == single-device
+    full attention (exact, non-causal)."""
+    from pai_tpu.ops.attention import _full_attention
+    from pai_tpu.parallel.ring_attention import sequence_sharded_attention
+
+    mesh = Mesh(np.asarray(eight_devices).reshape(-1), ("sp",))
+    kq, kk, kv = jax.random.split(jax.random.key(0), 3)
+    b, h, t, d = 2, 2, 512, 32
+    q = jax.random.normal(kq, (b, h, t, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
+
+    expected = _full_attention(q, k, v)
+    got = sequence_sharded_attention(mesh, q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_trainer_tp_flag(eight_devices, tmp_path):
     """--tp 2: end-to-end training with tensor-parallel param sharding."""
     from pai_tpu.train.loop import fit
