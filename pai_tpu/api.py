@@ -91,9 +91,10 @@ class _Experiment:
         module = self._build_module()
         rng = jax.random.key(0)
         shape = (1, self.image_size, self.image_size, 1)
+        # Abstract template (no device allocation of optimizer state).
         if self.model_name == "palette":
-            template = steps_lib.init_palette_state(
-                module, rng, shape, self.hparams.get("ema", False))
+            template = jax.eval_shape(lambda: steps_lib.init_palette_state(
+                module, rng, shape, self.hparams.get("ema", False)))
             state = serialization.from_state_dict(template, state_dict)
             self._params = steps_lib.palette_eval_params(state)
             self._stats = state.stats
@@ -102,12 +103,15 @@ class _Experiment:
 
             disc = Discriminator() \
                 if self.hparams.get("loss_type") == "gan" else None
-            template = steps_lib.init_gan_state(
-                module, disc, rng, shape, self.hparams.get("loss_type", "gan"),
-                self.hparams.get("ema", False))
+            template = jax.eval_shape(lambda: steps_lib.init_gan_state(
+                module, disc, rng, shape,
+                self.hparams.get("loss_type", "gan"),
+                self.hparams.get("ema", False)))
             state = serialization.from_state_dict(template, state_dict)
             self._params = steps_lib.gan_eval_params(state)
             self._stats = state.g_stats
+        self._params = jax.device_put(self._params)
+        self._stats = jax.device_put(self._stats)
         self._module = module
 
     @classmethod
@@ -130,25 +134,39 @@ class _Experiment:
 
     # -- inference ------------------------------------------------------
     def predict(self, x, rng: Optional[jax.Array] = None):
-        """Eval-mode prediction on an NHWC batch in [-1, 1]."""
+        """Eval-mode prediction on an NHWC batch in [-1, 1] (jitted; params
+        passed as arguments so no weight constants are baked in)."""
         if self._params is None:
             raise ValueError("no weights: call fit() or load_from_checkpoint")
-        variables = {"params": self._params}
-        if self._stats:
-            variables["batch_stats"] = self._stats
+        module = self._module
+        learn_var = self.hparams.get("learn_variance", False)
+
         if self.model_name == "palette":
             from pai_tpu.diffusion import ddpm_sample, make_schedule
 
             sched_inf = make_schedule("cosine", 100)
             rng = rng if rng is not None else jax.random.key(0)
 
-            def denoise(c, y_t, gamma):
-                return self._module.apply(variables, c, y_t, gamma,
-                                          train=False)
+            @jax.jit
+            def run(p, s, xb, key):
+                def denoise(c, y_t, gamma):
+                    variables = {"params": p}
+                    if s:
+                        variables["batch_stats"] = s
+                    return module.apply(variables, c, y_t, gamma, train=False)
 
-            return ddpm_sample(sched_inf, denoise, jnp.asarray(x), rng,
-                               self.hparams.get("learn_variance", False))
-        return self._module.apply(variables, jnp.asarray(x), train=False)
+                return ddpm_sample(sched_inf, denoise, xb, key, learn_var)
+
+            return run(self._params, self._stats, jnp.asarray(x), rng)
+
+        @jax.jit
+        def run(p, s, xb):
+            variables = {"params": p}
+            if s:
+                variables["batch_stats"] = s
+            return module.apply(variables, xb, train=False)
+
+        return run(self._params, self._stats, jnp.asarray(x))
 
     __call__ = predict
 

@@ -66,21 +66,27 @@ def _rebuild_from_checkpoint(model_name: str, ckpt_path: str):
 
     rng = jax.random.key(0)
     batch_shape = (1, image_size, image_size, 1)
+    # Abstract (eval_shape) template: restoring through a *concrete* train
+    # state would materialise params + Adam moments on device (12+ GB for
+    # the 1B-param trans_unet) just to throw them away. The restored leaves
+    # are host numpy; only the eval params get device_put, once.
     if model_name == "palette":
-        template = steps_lib.init_palette_state(
-            generator, rng, batch_shape, h.get("ema", False))
+        template = jax.eval_shape(lambda: steps_lib.init_palette_state(
+            generator, rng, batch_shape, h.get("ema", False)))
         state = serialization.from_state_dict(template, state_dict)
         params = steps_lib.palette_eval_params(state)
         stats = state.stats
     else:
         discriminator = Discriminator(dtype=dtype) \
             if h.get("loss_type") == "gan" else None
-        template = steps_lib.init_gan_state(
+        template = jax.eval_shape(lambda: steps_lib.init_gan_state(
             generator, discriminator, rng, batch_shape,
-            h.get("loss_type", "gan"), h.get("ema", False))
+            h.get("loss_type", "gan"), h.get("ema", False)))
         state = serialization.from_state_dict(template, state_dict)
         params = steps_lib.gan_eval_params(state)
         stats = state.g_stats
+    params = jax.device_put(params)
+    stats = jax.device_put(stats)
     return generator, params, stats, h, learn_var, image_size
 
 
@@ -99,30 +105,38 @@ def run_report(name: str, checkpoint: Optional[str], data: str,
     dataset = ImageDataset(data, image_size)
     loader = BatchLoader(dataset, batch_size, shuffle=False, pad_mode="zero")
 
+    # params/stats are explicit jit arguments — closing over them would bake
+    # multi-GB weight constants into the lowered program (observed 4.11 GB
+    # for the 1B-param trans_unet).
     if model_name == "identity":
         def predict(x, rng):
             return x
     elif model_name == "palette":
         sched_inf = make_schedule("cosine", 100)
-
-        def denoise(x, y_t, gamma):
-            variables = {"params": params}
-            if stats:
-                variables["batch_stats"] = stats
-            return generator.apply(variables, x, y_t, gamma, train=False)
-
         from pai_tpu.diffusion import ddpm_sample
 
         @jax.jit
-        def predict(x, rng):
+        def _predict(params_, stats_, x, rng):
+            def denoise(c, y_t, gamma):
+                variables = {"params": params_}
+                if stats_:
+                    variables["batch_stats"] = stats_
+                return generator.apply(variables, c, y_t, gamma, train=False)
+
             return ddpm_sample(sched_inf, denoise, x, rng, learn_var)
+
+        def predict(x, rng):
+            return _predict(params, stats, x, rng)
     else:
         @jax.jit
-        def predict(x, rng):
-            variables = {"params": params}
-            if stats:
-                variables["batch_stats"] = stats
+        def _predict(params_, stats_, x):
+            variables = {"params": params_}
+            if stats_:
+                variables["batch_stats"] = stats_
             return generator.apply(variables, x, train=False)
+
+        def predict(x, rng):
+            return _predict(params, stats, x)
 
     # Stream predictions; one decode pass over the dataset.
     preds_list, targets_list = [], []
@@ -193,19 +207,20 @@ def run_report(name: str, checkpoint: Optional[str], data: str,
     if model_name != "identity":
         n_params = parameter_count(params)
         probe = jnp.zeros((1, image_size, image_size, 1), jnp.float32)
+
+        def _vars(p, s):
+            return {"params": p, **({"batch_stats": s} if s else {})}
+
         if model_name == "palette":
             gam = jnp.ones((1,), jnp.float32)
             flops = count_flops(
-                lambda a, b, g: generator.apply(
-                    {"params": params, **({"batch_stats": stats} if stats
-                                          else {})}, a, b, g, train=False),
-                probe, probe, gam)
+                lambda p, s, a, b, g: generator.apply(
+                    _vars(p, s), a, b, g, train=False),
+                params, stats, probe, probe, gam)
         else:
             flops = count_flops(
-                lambda a: generator.apply(
-                    {"params": params, **({"batch_stats": stats} if stats
-                                          else {})}, a, train=False),
-                probe)
+                lambda p, s, a: generator.apply(_vars(p, s), a, train=False),
+                params, stats, probe)
 
     with open(os.path.join(report_dir, "stats.txt"), "w") as f:
         f.write(f"SSIM: {ssim_stat}\n")

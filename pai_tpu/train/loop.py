@@ -258,6 +258,16 @@ class Trainer:
                     vals = {k: float(v) for k, v in
                             jax.device_get(metrics).items()}
                     self.logger.log_metrics(vals, global_step, epoch)
+                    # failure detection (SURVEY §5: reference has none):
+                    # halt on divergence with an emergency checkpoint rather
+                    # than burning the remaining epochs on NaNs.
+                    if not np.isfinite(vals.get("loss", 0.0)):
+                        self.ckpt.save_last(
+                            self._state_dict(state), sanitize_hparams(h),
+                            global_step, epoch)
+                        raise FloatingPointError(
+                            f"non-finite loss at step {global_step} "
+                            f"(state saved to last)")
                 if profiling and global_step >= 12:
                     jax.profiler.stop_trace()
                     profiling = False
