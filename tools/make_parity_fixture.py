@@ -1,0 +1,143 @@
+"""Generate the forward-parity golden fixture (tests/fixtures/pix2pix_tiny.npz).
+
+Runs the *reference* torch Pix2Pix UNet + PatchGAN discriminator (mults
+(1, 2), 32x32, eval mode) on a fixed input with weights drawn from a
+deterministic numpy stream, and records input + outputs + the (name, shape)
+weight manifest. The test regenerates the identical weight values from the
+same stream and loads them into the pai_tpu flax models, pinning full-model
+numerical parity against the reference operator chain without shipping the
+weights themselves.
+
+Requires /root/reference mounted (Lightning and torchvision stubbed; only
+the reference's plain nn.Modules run). Run:
+    python tools/make_parity_fixture.py
+"""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+WEIGHT_SEED = 777
+
+
+def deterministic_weights(manifest):
+    """Regenerate the weight stream: iterate the manifest in order; conv /
+    linear weights ~ N(0, 0.02); BN weight ~ U(0.5, 1.5), BN bias ~
+    N(0, 0.1); running_mean ~ N(0, 0.1); running_var ~ U(0.5, 1.5)."""
+    rng = np.random.default_rng(WEIGHT_SEED)
+    values = {}
+    for name, shape in manifest:
+        shape = tuple(shape)
+        if name.endswith("running_var") or (
+                name.endswith("weight") and len(shape) == 1):
+            # BN scale / running variance: positive, near 1
+            values[name] = rng.uniform(0.5, 1.5, shape).astype(np.float32)
+        elif name.endswith("running_mean") or name.endswith("bias"):
+            values[name] = (rng.standard_normal(shape) * 0.1).astype(
+                np.float32)
+        else:  # conv / linear kernels
+            values[name] = (rng.standard_normal(shape) * 0.02).astype(
+                np.float32)
+    return values
+
+
+def _install_stubs():
+    import torch.nn as nn
+
+    pl_stub = types.ModuleType("pytorch_lightning")
+
+    class FakeLM(nn.Module):
+        def save_hyperparameters(self, *a, **k):
+            pass
+
+        def log(self, *a, **k):
+            pass
+
+    pl_stub.LightningModule = FakeLM
+    pl_stub.LightningDataModule = object
+    pl_stub.callbacks = types.SimpleNamespace(
+        Callback=object, ModelCheckpoint=object)
+    sys.modules["pytorch_lightning"] = pl_stub
+
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+    tvt.Lambda = lambda f: f
+
+    class _CID:
+        def __init__(self, d):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    tvt.ConvertImageDtype = _CID
+    tvio = types.ModuleType("torchvision.io")
+    tvio.write_png = lambda *a, **k: None
+    tvio.read_image = None
+    tvio.ImageReadMode = types.SimpleNamespace(GRAY=0)
+    tv.transforms = tvt
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tvt
+    sys.modules["torchvision.io"] = tvio
+
+    import torch
+
+    tm = types.ModuleType("torchmetrics.functional")
+    tm.structural_similarity_index_measure = lambda *a, **k: torch.tensor(0.)
+    tm.peak_signal_noise_ratio = lambda *a, **k: torch.tensor(0.)
+    tm.mean_squared_error = lambda *a, **k: torch.tensor(0.)
+    sys.modules["torchmetrics"] = types.ModuleType("torchmetrics")
+    sys.modules["torchmetrics.functional"] = tm
+
+
+def main():
+    import torch
+
+    _install_stubs()
+    sys.path.insert(0, "/root/reference")
+    from models.pix2pix import Unet
+    from models.wrapper import Discriminator
+
+    unet = Unet(1, 1, channel_mults=(1, 2), dropout=0.0)
+    disc = Discriminator(in_channels=1)
+
+    manifest = []
+    for prefix, model in (("unet", unet), ("disc", disc)):
+        for name, tensor in model.state_dict().items():
+            if name.endswith("num_batches_tracked"):
+                continue
+            manifest.append((f"{prefix}.{name}", list(tensor.shape)))
+
+    values = deterministic_weights(manifest)
+    for prefix, model in (("unet", unet), ("disc", disc)):
+        sd = model.state_dict()
+        for name in sd:
+            key = f"{prefix}.{name}"
+            if key in values:
+                sd[name] = torch.from_numpy(values[key])
+        model.load_state_dict(sd)
+
+    unet.eval()
+    disc.eval()
+    rng = np.random.default_rng(99)
+    x = rng.uniform(-1, 1, (2, 1, 32, 32)).astype(np.float32)
+    y = rng.uniform(-1, 1, (2, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        gen_out = unet(torch.from_numpy(x)).numpy()
+        disc_out = disc(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                       "tests", "fixtures", "pix2pix_tiny.npz")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    np.savez_compressed(
+        out, x=x, y=y, gen_out=gen_out, disc_out=disc_out,
+        manifest=json.dumps(manifest))
+    print(f"wrote {out}: gen_out mean {gen_out.mean():.6f}, "
+          f"disc_out mean {disc_out.mean():.6f}, manifest {len(manifest)}")
+
+
+if __name__ == "__main__":
+    main()
