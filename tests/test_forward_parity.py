@@ -84,6 +84,128 @@ def test_pix2pix_unet_forward_matches_reference(fixture):
                                rtol=1e-4, atol=1e-5)
 
 
+DIFFUSION_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                                 "diffusion_tiny.npz")
+
+# My flax block name -> torch module path (guided_diffusion UNet, mults
+# (1,2), res_blocks=2, attn at ds=2 — structure per unet.py:418-548).
+_GD_BLOCKS = {
+    "in_conv": "input_blocks.0.0",
+    "in_res_0": "input_blocks.1.0",
+    "in_res_1": "input_blocks.2.0",
+    "down_0": "input_blocks.3.0",
+    "in_res_2": "input_blocks.4.0",
+    "in_attn_2": "input_blocks.4.1",
+    "in_res_3": "input_blocks.5.0",
+    "in_attn_3": "input_blocks.5.1",
+    "mid_res_0": "middle_block.0",
+    "mid_attn": "middle_block.1",
+    "mid_res_1": "middle_block.2",
+    "out_res_0": "output_blocks.0.0",
+    "out_attn_0": "output_blocks.0.1",
+    "out_res_1": "output_blocks.1.0",
+    "out_attn_1": "output_blocks.1.1",
+    "out_res_2": "output_blocks.2.0",
+    "out_attn_2": "output_blocks.2.1",
+    "up_1": "output_blocks.2.2",
+    "out_res_3": "output_blocks.3.0",
+    "out_res_4": "output_blocks.4.0",
+    "out_res_5": "output_blocks.5.0",
+    "out_norm": "out.0",
+    "out_conv": "out.2",
+    "cond_embed_0": "cond_embed.0",
+    "cond_embed_1": "cond_embed.2",
+}
+_GD_RES_SUB = {
+    "norm_in": "in_layers.0",
+    "conv_in": "in_layers.2",
+    "emb_proj": "emb_layers.1",
+    "norm_out": "out_layers.0",
+    "conv_out": "out_layers.3",
+    "skip": "skip_connection",
+}
+_GD_ATTN_SUB = {"norm": "norm", "qkv": "qkv", "proj": "proj_out"}
+
+
+def _gd_torch_name(path):
+    """flax flat path tuple -> (torch tensor name, transform)."""
+    block = _GD_BLOCKS[path[0]]
+    leaf = path[-1]
+    if path[0].startswith(("cond_embed",)):
+        torch_mod = block
+    elif path[0] in ("in_conv", "out_conv", "out_norm"):
+        torch_mod = block
+    elif "attn" in path[0]:
+        torch_mod = f"{block}.{_GD_ATTN_SUB[path[1]]}"
+    else:  # ResBlock
+        torch_mod = f"{block}.{_GD_RES_SUB[path[1]]}"
+
+    if leaf == "scale":
+        return f"gd.{torch_mod}.weight", "1d"
+    if leaf == "bias":
+        return f"gd.{torch_mod}.bias", "1d"
+    if leaf == "mean":
+        return f"gd.{torch_mod}.running_mean", "1d"
+    if leaf == "var":
+        return f"gd.{torch_mod}.running_var", "1d"
+    # kernels
+    return f"gd.{torch_mod}.weight", "kernel"
+
+
+def test_diffusion_unet_forward_matches_reference(fixture_gd):
+    """Full guided_diffusion UNet chain parity: gamma embedding, FiLM
+    ResBlocks, BatchNorm attention, resblock down/up sampling, skip cats,
+    zero-init head — weights ported from the torch reference layout."""
+    z, w = fixture_gd
+    from pai_tpu.models.diffusion_unet import DiffusionUNet
+
+    model = DiffusionUNet(in_channels=2, out_channels=1, inner_channel=32,
+                          res_blocks=2, channel_mults=(1, 2), attn_res=(2,),
+                          num_heads=4)
+    abstract = jax.eval_shape(lambda: model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 1)),
+        jnp.zeros((1, 16, 16, 1)), jnp.ones((1,)), train=False))
+
+    def port(collection):
+        flat = {}
+        for path, leaf in flatten_dict(abstract[collection]).items():
+            name, kind = _gd_torch_name(path)
+            val = w[name]
+            if kind == "kernel":
+                if val.ndim == 4:      # conv OIHW -> HWIO
+                    val = np.transpose(val, (2, 3, 1, 0))
+                elif val.ndim == 3:    # conv1d (out,in,1) -> (in,out)
+                    val = np.transpose(val[:, :, 0], (1, 0))
+                elif val.ndim == 2:    # linear (out,in) -> (in,out)
+                    val = np.transpose(val, (1, 0))
+            assert val.shape == leaf.shape, (path, val.shape, leaf.shape)
+            flat[path] = jnp.asarray(val)
+        return unflatten_dict(flat)
+
+    variables = {"params": port("params"),
+                 "batch_stats": port("batch_stats")}
+    x = jnp.asarray(np.transpose(z["x"], (0, 2, 3, 1)))
+    y = jnp.asarray(np.transpose(z["y"], (0, 2, 3, 1)))
+    gammas = jnp.asarray(z["gammas"])
+    out = model.apply(variables, x, y, gammas, train=False)
+    expected = np.transpose(z["out"], (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(out), expected,
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def fixture_gd():
+    if not os.path.exists(DIFFUSION_FIXTURE):
+        pytest.skip("diffusion parity fixture missing")
+    z = np.load(DIFFUSION_FIXTURE)
+    manifest = json.loads(str(z["manifest"]))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "tools"))
+    from make_parity_fixture import deterministic_weights
+
+    return z, deterministic_weights(manifest)
+
+
 def test_discriminator_forward_matches_reference(fixture):
     z, w = fixture
     from pai_tpu.models import Discriminator

@@ -153,6 +153,78 @@ def test_attention_blockwise_matches_full():
     np.testing.assert_allclose(_np(full), _np(blocked), rtol=2e-5, atol=2e-5)
 
 
+def test_transformer_layer_matches_torch():
+    """TransUNet's post-LN transformer layer == torch
+    nn.TransformerEncoderLayer(gelu, batch_first=True) with ported weights
+    (trans_unet.py:151-161 semantics, minus the reference's batch_first bug)."""
+    import torch.nn as tnn
+
+    import jax
+    from flax.traverse_util import unflatten_dict
+    from pai_tpu.models.trans_unet import TransformerLayer
+
+    d, heads, ffn, t, n = 32, 4, 64, 8, 2
+    tlayer = tnn.TransformerEncoderLayer(
+        d, heads, dim_feedforward=ffn, dropout=0.0, activation="gelu",
+        batch_first=True)
+    tlayer.eval()
+
+    rng = np.random.default_rng(11)
+
+    def W(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    sd = tlayer.state_dict()
+    new = {
+        "self_attn.in_proj_weight": W(3 * d, d),
+        "self_attn.in_proj_bias": W(3 * d),
+        "self_attn.out_proj.weight": W(d, d),
+        "self_attn.out_proj.bias": W(d),
+        "linear1.weight": W(ffn, d),
+        "linear1.bias": W(ffn),
+        "linear2.weight": W(d, ffn),
+        "linear2.bias": W(d),
+        "norm1.weight": W(d) + 1.0,
+        "norm1.bias": W(d),
+        "norm2.weight": W(d) + 1.0,
+        "norm2.bias": W(d),
+    }
+    for k, v in new.items():
+        sd[k] = torch.from_numpy(v)
+    tlayer.load_state_dict(sd)
+
+    x = rng.standard_normal((n, t, d)).astype(np.float32)
+    with torch.no_grad():
+        expected = tlayer(torch.from_numpy(x)).numpy()
+
+    layer = TransformerLayer(num_heads=heads, ffn_dim=ffn, dropout=0.0)
+    params = unflatten_dict({
+        ("in_proj", "Dense_0", "kernel"): jnp.asarray(
+            new["self_attn.in_proj_weight"].T),
+        ("in_proj", "Dense_0", "bias"): jnp.asarray(
+            new["self_attn.in_proj_bias"]),
+        ("out_proj", "Dense_0", "kernel"): jnp.asarray(
+            new["self_attn.out_proj.weight"].T),
+        ("out_proj", "Dense_0", "bias"): jnp.asarray(
+            new["self_attn.out_proj.bias"]),
+        ("ffn1", "Dense_0", "kernel"): jnp.asarray(new["linear1.weight"].T),
+        ("ffn1", "Dense_0", "bias"): jnp.asarray(new["linear1.bias"]),
+        ("ffn2", "Dense_0", "kernel"): jnp.asarray(new["linear2.weight"].T),
+        ("ffn2", "Dense_0", "bias"): jnp.asarray(new["linear2.bias"]),
+        ("LayerNorm_0", "LayerNorm_0", "scale"): jnp.asarray(
+            new["norm1.weight"]),
+        ("LayerNorm_0", "LayerNorm_0", "bias"): jnp.asarray(
+            new["norm1.bias"]),
+        ("LayerNorm_1", "LayerNorm_0", "scale"): jnp.asarray(
+            new["norm2.weight"]),
+        ("LayerNorm_1", "LayerNorm_0", "bias"): jnp.asarray(
+            new["norm2.bias"]),
+    })
+    got = layer.apply({"params": params}, jnp.asarray(x), False)
+    np.testing.assert_allclose(np.asarray(got), expected,
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_attention_matches_torch_sdpa():
     from pai_tpu.ops.attention import _full_attention
 

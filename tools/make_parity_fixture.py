@@ -93,6 +93,63 @@ def _install_stubs():
     sys.modules["torchmetrics.functional"] = tm
 
 
+def _load_deterministic(model, prefix, manifest_out):
+    """Record the manifest for ``model`` and load deterministic weights.
+    NOTE: uses a per-model stream seeded by WEIGHT_SEED via the shared
+    manifest ordering — callers must regenerate with the same manifest."""
+    import torch
+
+    manifest = []
+    for name, tensor in model.state_dict().items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        manifest.append((f"{prefix}.{name}", list(tensor.shape)))
+    manifest_out.extend(manifest)
+    return manifest
+
+
+def make_diffusion_fixture():
+    """guided_diffusion UNet forward-parity fixture (FiLM ResBlocks,
+    attention, gamma embedding — the full conditioned chain)."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from models.guided_diffusion.unet import UNet as GDUNet
+
+    unet = GDUNet(image_size=16, in_channel=2, inner_channel=32,
+                  out_channel=1, res_blocks=2, attn_res=(2,),
+                  channel_mults=(1, 2), num_heads=4, dropout=0.0)
+
+    manifest = []
+    _load_deterministic(unet, "gd", manifest)
+    values = deterministic_weights(manifest)
+    sd = unet.state_dict()
+    for name in sd:
+        key = f"gd.{name}"
+        if key in values:
+            sd[name] = torch.from_numpy(values[key])
+    unet.load_state_dict(sd)
+    unet.eval()
+
+    rng = np.random.default_rng(55)
+    x = rng.uniform(-1, 1, (2, 1, 16, 16)).astype(np.float32)
+    y = rng.uniform(-1, 1, (2, 1, 16, 16)).astype(np.float32)
+    gammas = np.array([0.3, 0.9], np.float32)
+    with torch.no_grad():
+        out = unet(torch.from_numpy(x), torch.from_numpy(y),
+                   torch.from_numpy(gammas)).numpy()
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        os.pardir, "tests", "fixtures", "diffusion_tiny.npz")
+    np.savez_compressed(path, x=x, y=y, gammas=gammas, out=out,
+                        manifest=json.dumps(manifest))
+    print(f"wrote {path}: out mean {out.mean():.6f}, "
+          f"manifest {len(manifest)}")
+    # Dump the torch module names once for mapping reference.
+    for name, shape in manifest[:200]:
+        print("  ", name, shape)
+
+
 def main():
     import torch
 
@@ -141,3 +198,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+    make_diffusion_fixture()
