@@ -1,22 +1,27 @@
-"""Fused blockwise (flash) attention kernel for the diffusion UNet's long
-spatial sequences (up to 128x128 = 16,384 tokens at --attention-res 2,
-SURVEY §5).
+"""Fused blockwise (flash) attention — forward AND backward Pallas kernels —
+for the diffusion UNet's long spatial sequences (up to 128x128 = 16,384
+tokens at --attention-res 2, SURVEY §5).
 
-Grid = (batch*heads, q-blocks, kv-blocks); the kv axis is innermost, so each
-(bh, q-block) program streams K/V panels through VMEM (auto double-buffered
-by the pipeline) while online-softmax state (running max, denominator,
-accumulator) lives in VMEM scratch that persists across the kv iterations —
-O(block) memory instead of the reference's materialised T^2 softmax
-(guided_diffusion/unet.py:283-297). Scaling matches QKVAttentionLegacy:
-logits = (q * d^-1/4) @ (k * d^-1/4)^T, softmax in float32.
+Forward: grid (batch*heads, q-blocks, kv-blocks); the kv axis is innermost,
+so each (bh, q-block) program streams K/V panels through VMEM (auto
+double-buffered) while online-softmax state (running max, denominator,
+accumulator) lives in VMEM scratch — O(block) memory instead of the
+reference's materialised T^2 softmax (guided_diffusion/unet.py:283-297).
+The per-row log-sum-exp is emitted as a residual (lane-broadcast to satisfy
+TPU tiling) so the backward never re-runs the softmax reduction.
 
-Backward uses the XLA blockwise formulation via custom_vjp (recompute — the
-same memory profile the reference gets from its always-on grad checkpoint,
-unet.py:254).
+Backward: the standard flash decomposition with delta = rowsum(dO * O)
+precomputed in XLA —
+    P   = exp(s^2 Q K^T - lse)
+    dV  = P^T dO
+    dS  = P * (dO V^T - delta)
+    dQ  = s^2 dS K        (kernel 1: grid over q-blocks, kv innermost)
+    dK  = s^2 dS^T Q      (kernel 2: grid over kv-blocks, q innermost)
+Scaling matches QKVAttentionLegacy: logits = (q * d^-1/4) @ (k * d^-1/4)^T,
+softmax in float32 (unet.py:291-295).
 
-Measured on TPU v5e vs the XLA full-softmax reference: 1.5x faster at
-T=4096 (b2 h4 d64) and runs the T=16384 case that the full softmax cannot
-materialise.
+Measured on TPU v5e vs the XLA references: forward 1.5x faster at T=4096
+(b2 h4 d64), 9.8 ms at T=16384 where full softmax cannot materialise.
 """
 
 from __future__ import annotations
@@ -27,6 +32,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128  # lse/delta are broadcast across one lane tile
+
 
 def _block_sizes(t: int, d: int):
     """(BLOCK_Q, BLOCK_K) sizing: the f32 logits tile costs BQ*BK*4 bytes of
@@ -40,10 +48,11 @@ def _block_sizes(t: int, d: int):
     return blk, blk
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                      *, scale: float):
-    # q_ref: (1, BLOCK_Q, D); k_ref/v_ref: (1, BLOCK_K, D);
-    # o_ref: (1, BLOCK_Q, D); scratch m/l: (BLOCK_Q, 1), acc: (BLOCK_Q, D).
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                *, scale: float):
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
 
@@ -71,13 +80,14 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     l_ref[:] = l_new
     acc_ref[:] = acc_new
 
-    @pl.when(kv_idx == num_kv - 1)
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        lse = m_ref[:] + jnp.log(l_ref[:])          # (BLOCK_Q, 1)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _flash_forward(q, k, v, interpret: bool = False):
-    """q,k,v: (B, H, T, D) -> (B, H, T, D)."""
+def _flash_forward_with_lse(q, k, v, interpret: bool = False):
     b, h, t, d = q.shape
     scale = d ** -0.25
     block_q, block_k = _block_sizes(t, d)
@@ -86,8 +96,8 @@ def _flash_forward(q, k, v, interpret: bool = False):
     vf = v.reshape(b * h, t, d)
 
     grid = (b * h, t // block_q, t // block_k)
-    out = pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, scale=scale),
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j, kv: (i, j, 0),
@@ -97,9 +107,16 @@ def _flash_forward(q, k, v, interpret: bool = False):
             pl.BlockSpec((1, block_k, d), lambda i, j, kv: (i, kv, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kv: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j, kv: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, LANES), lambda i, j, kv: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, t, LANES), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -108,37 +125,182 @@ def _flash_forward(q, k, v, interpret: bool = False):
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * t * t * d,
-            bytes_accessed=(3 * b * h * t * d + b * h * t * d) * 4,
+            bytes_accessed=(4 * b * h * t * d) * 4,
             transcendentals=b * h * t * t,
         ),
     )(qf, kf, vf)
-    return out.reshape(b, h, t, d)
+    return out.reshape(b, h, t, d), lse[:, :, :1]  # (bh, t, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _flash_forward(q, k, v, interpret: bool = False):
+    """q,k,v: (B, H, T, D) -> (B, H, T, D)."""
+    return _flash_forward_with_lse(q, k, v, interpret)[0]
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_acc, *, scale: float):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    ks = k_ref[0].astype(jnp.float32)
+    vs = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    s2 = scale * scale
+    logits = jax.lax.dot_general(
+        q, ks, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * s2
+    p = jnp.exp(logits - lse)
+    dp = jax.lax.dot_general(
+        do, vs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dq_acc[:] += s2 * jax.lax.dot_general(
+        ds, ks, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    ks = k_ref[0].astype(jnp.float32)
+    vs = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    s2 = scale * scale
+    logits = jax.lax.dot_general(
+        q, ks, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * s2
+    p = jnp.exp(logits - lse)                        # (BQ, BK)
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, vs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)                            # (BQ, BK)
+    dk_acc[:] += s2 * jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, g, interpret: bool = False):
+    b, h, t, d = q.shape
+    scale = d ** -0.25
+    block_q, block_k = _block_sizes(t, d)
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, t, d)
+    vf = v.reshape(b * h, t, d)
+    of = o.reshape(b * h, t, d)
+    gf = g.reshape(b * h, t, d)
+
+    delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1, keepdims=True)          # (bh, t, 1)
+    lse_b = jnp.broadcast_to(lse, (b * h, t, LANES))
+    delta_b = jnp.broadcast_to(delta, (b * h, t, LANES))
+
+    row_specs = [
+        pl.BlockSpec((1, block_q, d), lambda i, j, kv: (i, j, 0),
+                     memory_space=pltpu.VMEM),            # q
+        pl.BlockSpec((1, block_k, d), lambda i, j, kv: (i, kv, 0),
+                     memory_space=pltpu.VMEM),            # k
+        pl.BlockSpec((1, block_k, d), lambda i, j, kv: (i, kv, 0),
+                     memory_space=pltpu.VMEM),            # v
+        pl.BlockSpec((1, block_q, d), lambda i, j, kv: (i, j, 0),
+                     memory_space=pltpu.VMEM),            # do
+        pl.BlockSpec((1, block_q, LANES), lambda i, j, kv: (i, j, 0),
+                     memory_space=pltpu.VMEM),            # lse
+        pl.BlockSpec((1, block_q, LANES), lambda i, j, kv: (i, j, 0),
+                     memory_space=pltpu.VMEM),            # delta
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale),
+        grid=(b * h, t // block_q, t // block_k),
+        in_specs=row_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kv: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse_b, delta_b)
+
+    col_specs = [
+        pl.BlockSpec((1, block_q, d), lambda i, kv, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),            # q
+        pl.BlockSpec((1, block_k, d), lambda i, kv, j: (i, kv, 0),
+                     memory_space=pltpu.VMEM),            # k
+        pl.BlockSpec((1, block_k, d), lambda i, kv, j: (i, kv, 0),
+                     memory_space=pltpu.VMEM),            # v
+        pl.BlockSpec((1, block_q, d), lambda i, kv, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),            # do
+        pl.BlockSpec((1, block_q, LANES), lambda i, kv, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),            # lse
+        pl.BlockSpec((1, block_q, LANES), lambda i, kv, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),            # delta
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale),
+        grid=(b * h, t // block_k, t // block_q),
+        in_specs=col_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda i, kv, j: (i, kv, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, kv, j: (i, kv, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, gf, lse_b, delta_b)
+
+    shape = (b, h, t, d)
+    return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+@jax.custom_vjp
 def flash_attention(q, k, v):
     return _flash_forward(q, k, v)
 
 
 def _flash_fwd_rule(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+    o, lse = _flash_forward_with_lse(q, k, v)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_bwd_rule(residuals, g):
-    # Recompute-based backward through the XLA blockwise reference (exact
-    # same math; memory profile equals the reference's grad checkpoint).
-    from pai_tpu.ops.attention import _blockwise_attention, _full_attention
-
-    q, k, v = residuals
-    t = q.shape[2]
-
-    def ref(q_, k_, v_):
-        if t >= 4096 and t % 1024 == 0:
-            return _blockwise_attention(q_, k_, v_, 1024, 1024)
-        return _full_attention(q_, k_, v_)
-
-    _, vjp_fn = jax.vjp(ref, q, k, v)
-    return vjp_fn(g)
+    q, k, v, o, lse = residuals
+    return _flash_backward(q, k, v, o, lse, g)
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)

@@ -62,15 +62,15 @@ def test_fused_ssim_gradient_matches_reference():
                                rtol=1e-5, atol=1e-7)
 
 
-def test_flash_attention_backward_rule_parity():
-    """The custom_vjp backward (recompute via the XLA reference) must equal
-    the gradient of full attention."""
+def test_flash_attention_backward_kernels_parity():
+    """The Pallas backward kernels (dq + dk/dv with saved lse) must equal
+    the gradient of full attention (interpret mode on CPU)."""
     from pai_tpu.kernels import flash_attention as fa
     from pai_tpu.ops.attention import _full_attention
 
     rng = jax.random.key(1)
     kq, kk, kv, kg = jax.random.split(rng, 4)
-    b, h, t, d = 1, 1, 512, 32
+    b, h, t, d = 1, 2, 512, 32
     q = jax.random.normal(kq, (b, h, t, d), jnp.float32)
     k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
     v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
@@ -78,7 +78,26 @@ def test_flash_attention_backward_rule_parity():
 
     _, vjp_ref = jax.vjp(_full_attention, q, k, v)
     expected = vjp_ref(g)
-    got = fa._flash_bwd_rule((q, k, v), g)
-    for a, e in zip(got, expected):
+
+    o, lse = fa._flash_forward_with_lse(q, k, v, interpret=True)
+    got = fa._flash_backward(q, k, v, o, lse, g, interpret=True)
+    for name, a, e in zip(("dq", "dk", "dv"), got, expected):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
-                                   rtol=5e-5, atol=5e-5)
+                                   rtol=5e-4, atol=5e-5, err_msg=name)
+
+
+def test_flash_attention_lse_matches_softmax():
+    from pai_tpu.kernels import flash_attention as fa
+
+    rng = jax.random.key(2)
+    kq, kk, kv = jax.random.split(rng, 3)
+    b, h, t, d = 1, 1, 256, 16
+    q = jax.random.normal(kq, (b, h, t, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
+    _, lse = fa._flash_forward_with_lse(q, k, v, interpret=True)
+    scale = d ** -0.25
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k * scale)
+    expected = jax.nn.logsumexp(logits, axis=-1).reshape(b * h, t, 1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
