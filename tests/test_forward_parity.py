@@ -206,6 +206,106 @@ def fixture_gd():
     return z, deterministic_weights(manifest)
 
 
+def _load_fixture(fname):
+    path = os.path.join(os.path.dirname(__file__), "fixtures", fname)
+    if not os.path.exists(path):
+        pytest.skip(f"{fname} missing (tools/make_parity_fixture.py)")
+    z = np.load(path)
+    manifest = json.loads(str(z["manifest"]))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "tools"))
+    from make_parity_fixture import deterministic_weights
+
+    return z, deterministic_weights(manifest)
+
+
+def _bn(flat, w, my_prefix, torch_mod, params, stats):
+    params[my_prefix + ("scale",)] = jnp.asarray(w[f"{torch_mod}.weight"])
+    params[my_prefix + ("bias",)] = jnp.asarray(w[f"{torch_mod}.bias"])
+    stats[my_prefix + ("mean",)] = jnp.asarray(w[f"{torch_mod}.running_mean"])
+    stats[my_prefix + ("var",)] = jnp.asarray(w[f"{torch_mod}.running_var"])
+
+
+def _cv(flat, w, my_prefix, torch_mod):
+    flat[my_prefix + ("kernel",)] = _conv(w[f"{torch_mod}.weight"])
+    flat[my_prefix + ("bias",)] = jnp.asarray(w[f"{torch_mod}.bias"])
+
+
+def test_res18_unet_forward_matches_reference():
+    """ResUNet-18 full chain: stem, residual enc (maxpool), residual dec
+    (nearest up), skip cats, tanh head (res_unet.py:52-74, 182-335)."""
+    z, w = _load_fixture("res18_tiny.npz")
+    from pai_tpu.models.res_unet import ResUnet
+
+    model = ResUnet(out_channels=1, res_type="18", channel_mults=(1, 2),
+                    dropout=0.0)
+    params, stats = {}, {}
+    _cv(params, w, ("stem",), "res.in_conv")
+    # blocks: (my module, torch module, has_skip)
+    blocks = [
+        (("enc_0",), "res.encoders.0.encode.0", False),
+        (("enc_1",), "res.encoders.1.encode.0", True),
+        (("dec_0",), "res.decoders.0.decode.0", True),
+        (("dec_final",), "res.decoders.1.decode.0", True),
+    ]
+    for my, tm, has_skip in blocks:
+        _cv(params, w, my + ("Conv_0",), f"{tm}.conv_block.0")
+        _bn(params, w, my + ("BatchNorm_0", "BatchNorm_0"),
+            f"{tm}.conv_block.1", params, stats)
+        _cv(params, w, my + ("Conv_1",), f"{tm}.conv_block.3")
+        _bn(params, w, my + ("BatchNorm_1", "BatchNorm_0"),
+            f"{tm}.conv_block.4", params, stats)
+        if has_skip:
+            _cv(params, w, my + ("Conv_2",), f"{tm}.conv_skip.0")
+            _bn(params, w, my + ("BatchNorm_2", "BatchNorm_0"),
+                f"{tm}.conv_skip.1", params, stats)
+    _cv(params, w, ("head",), "res.out.0")
+
+    x = jnp.asarray(np.transpose(z["in0"], (0, 2, 3, 1)))
+    out = model.apply({"params": unflatten_dict(params),
+                       "batch_stats": unflatten_dict(stats)}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.transpose(z["out"], (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_attention_unet_forward_matches_reference():
+    """Attention U-Net full chain incl. the additive attention gate
+    (attention_unet.py:48-96, 99-208)."""
+    z, w = _load_fixture("attention_tiny.npz")
+    from pai_tpu.models.attention_unet import AttentionUnet
+
+    model = AttentionUnet(out_channels=1, channel_mults=(1, 2), dropout=0.0)
+    params, stats = {}, {}
+    _cv(params, w, ("stem",), "att.encoders.0")
+    _cv(params, w, ("enc_1", "Conv_0"), "att.encoders.1.encode.1")
+    params[("dec_0", "ConvTranspose_0", "kernel")] = _convt(
+        w["att.decoders.0.decode.1.weight"])
+    params[("dec_0", "ConvTranspose_0", "bias")] = jnp.asarray(
+        w["att.decoders.0.decode.1.bias"])
+    _bn(params, w, ("dec_0", "BatchNorm_0", "BatchNorm_0"),
+        "att.decoders.0.decode.2", params, stats)
+    g = "att.attention_blocks.0"
+    _cv(params, w, ("gate_0", "input_gate"), f"{g}.input_gate.0")
+    _bn(params, w, ("gate_0", "BatchNorm_0", "BatchNorm_0"),
+        f"{g}.input_gate.1", params, stats)
+    _cv(params, w, ("gate_0", "signal_gate"), f"{g}.signal_gate.0")
+    _bn(params, w, ("gate_0", "BatchNorm_1", "BatchNorm_0"),
+        f"{g}.signal_gate.1", params, stats)
+    _cv(params, w, ("gate_0", "attention"), f"{g}.attention.0")
+    _bn(params, w, ("gate_0", "BatchNorm_2", "BatchNorm_0"),
+        f"{g}.attention.1", params, stats)
+    params[("head", "kernel")] = _convt(w["att.decoders.1.weight"])
+    params[("head", "bias")] = jnp.asarray(w["att.decoders.1.bias"])
+
+    x = jnp.asarray(np.transpose(z["in0"], (0, 2, 3, 1)))
+    out = model.apply({"params": unflatten_dict(params),
+                       "batch_stats": unflatten_dict(stats)}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.transpose(z["out"], (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_discriminator_forward_matches_reference(fixture):
     z, w = fixture
     from pai_tpu.models import Discriminator

@@ -150,6 +150,57 @@ def make_diffusion_fixture():
         print("  ", name, shape)
 
 
+def _fixture_for(model, prefix, inputs, fname, forward):
+    """Shared: deterministic weights -> eval forward -> npz fixture."""
+    import torch
+
+    manifest = []
+    _load_deterministic(model, prefix, manifest)
+    values = deterministic_weights(manifest)
+    sd = model.state_dict()
+    for name in sd:
+        key = f"{prefix}.{name}"
+        if key in values:
+            sd[name] = torch.from_numpy(values[key])
+    model.load_state_dict(sd)
+    model.eval()
+    with torch.no_grad():
+        out = forward(model, *[torch.from_numpy(i) for i in inputs]).numpy()
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        os.pardir, "tests", "fixtures", fname)
+    blob = {f"in{i}": arr for i, arr in enumerate(inputs)}
+    np.savez_compressed(path, out=out, manifest=json.dumps(manifest), **blob)
+    print(f"wrote {path}: out mean {out.mean():.6f}, "
+          f"manifest {len(manifest)}")
+    return manifest
+
+
+def make_res18_fixture():
+    sys.path.insert(0, "/root/reference")
+    from models.res_unet import ResUnet
+
+    model = ResUnet(1, 1, "18", channel_mults=(1, 2), dropout=0.0)
+    rng = np.random.default_rng(21)
+    x = rng.uniform(-1, 1, (2, 1, 32, 32)).astype(np.float32)
+    manifest = _fixture_for(model, "res", (x,), "res18_tiny.npz",
+                            lambda m, a: m(a))
+    for name, shape in manifest:
+        print("  ", name, shape)
+
+
+def make_attention_unet_fixture():
+    sys.path.insert(0, "/root/reference")
+    from models.attention_unet import AttentionUnet
+
+    model = AttentionUnet(1, 1, channel_mults=(1, 2), dropout=0.0)
+    rng = np.random.default_rng(22)
+    x = rng.uniform(-1, 1, (2, 1, 32, 32)).astype(np.float32)
+    manifest = _fixture_for(model, "att", (x,), "attention_tiny.npz",
+                            lambda m, a: m(a))
+    for name, shape in manifest:
+        print("  ", name, shape)
+
+
 def main():
     import torch
 
@@ -199,3 +250,5 @@ def main():
 if __name__ == "__main__":
     main()
     make_diffusion_fixture()
+    make_res18_fixture()
+    make_attention_unet_fixture()
