@@ -20,6 +20,7 @@ TPU-first differences from the reference's torch DataLoader:
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -28,6 +29,7 @@ from typing import Iterator, List, NamedTuple, Optional, Sequence, Tuple
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from pai_tpu.data.manifest import load_manifest
 from pai_tpu.utils.images import read_png_gray
@@ -37,6 +39,18 @@ class Batch(NamedTuple):
     x: jax.Array       # condition image  [B, H, W, 1]
     y: jax.Array       # ground truth     [B, H, W, 1]
     n_valid: int       # rows < n_valid are real samples
+
+
+@functools.lru_cache(maxsize=None)
+def _dev_normalize_fn(normalize: bool):
+    """Shared jitted uint8 -> normalised float32 (one compile per process —
+    remote-tunnel TPU compiles cost ~up to a minute even for this)."""
+
+    def _norm(u8):
+        f = u8.astype(jnp.float32) / 255.0
+        return (f - 0.5) / 0.5 if normalize else f
+
+    return jax.jit(_norm)
 
 
 def _resize_antialias(img: np.ndarray, size: int) -> np.ndarray:
@@ -57,17 +71,30 @@ def _resize_antialias(img: np.ndarray, size: int) -> np.ndarray:
         Image.fromarray(img).resize((size, size), Image.BILINEAR))
 
 
-def load_example(paths: Tuple[str, str], image_size: int = 256,
-                 normalize: bool = True) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode one (input, ground_truth) pair -> two [H,W,1] float32 arrays."""
+def load_example_u8(paths: Tuple[str, str], image_size: int = 256
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode one pair -> two [H,W,1] uint8 arrays (resize rounded to uint8,
+    matching torchvision's uint8 Resize before ConvertImageDtype)."""
     out = []
     for p in paths:
         img = read_png_gray(p)
-        img = _resize_antialias(img, image_size)
+        if img.shape[0] != image_size or img.shape[1] != image_size:
+            resized = _resize_antialias(img, image_size)
+            img = np.clip(resized + 0.5, 0, 255).astype(np.uint8)
+        out.append(img[..., None])
+    return out[0], out[1]
+
+
+def load_example(paths: Tuple[str, str], image_size: int = 256,
+                 normalize: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode one (input, ground_truth) pair -> two [H,W,1] float32 arrays."""
+    x, y = load_example_u8(paths, image_size)
+    out = []
+    for img in (x, y):
         img = img.astype(np.float32) / 255.0
         if normalize:
             img = (img - 0.5) / 0.5
-        out.append(img[..., None])
+        out.append(img)
     return out[0], out[1]
 
 
@@ -117,6 +144,7 @@ class BatchLoader:
         self.sharding = sharding
         self.epoch = 0
         self._pool: Optional[ThreadPoolExecutor] = None
+        self._dev_normalize = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -159,9 +187,18 @@ class BatchLoader:
         except Exception:
             png_native = None
 
-        def assemble(idx: Sequence[int], n_valid: int) -> Batch:
-            xs = np.zeros((bs, img, img, 1), np.float32)
-            ys = np.zeros((bs, img, img, 1), np.float32)
+        normalize = self.dataset.normalize
+
+        if self._dev_normalize is None:
+            # uint8 -> float32 conversion + normalisation runs ON DEVICE:
+            # host->device ships 1 byte/px instead of 4 (the remote-tunnel
+            # H2D link measured ~44 MB/s — f32 batches were the pipeline
+            # bottleneck at 256² batch sizes).
+            self._dev_normalize = _dev_normalize_fn(normalize)
+
+        def assemble_u8(idx: Sequence[int], n_valid: int):
+            xs = np.zeros((bs, img, img, 1), np.uint8)
+            ys = np.zeros((bs, img, img, 1), np.uint8)
             native_done = False
             if png_native is not None:
                 # Fast path: one C++ threaded decode of all 2*bs PNGs
@@ -173,13 +210,13 @@ class BatchLoader:
                         paths += [pin, pgt]
                         slots.append(i)
                 try:
-                    flat, failed = png_native.decode_batch(
-                        paths, img, self.dataset.normalize,
-                        num_threads=self.num_workers)
+                    flat, failed = png_native.decode_batch_u8(
+                        paths, img, num_threads=self.num_workers)
                     for k, i in enumerate(slots):
                         if failed[2 * k] or failed[2 * k + 1]:
                             # exotic PNG -> per-item PIL fallback
-                            xs[i], ys[i] = self.dataset[idx[i]]
+                            xs[i], ys[i] = load_example_u8(
+                                self.dataset.pairs[idx[i]], img)
                         else:
                             xs[i] = flat[2 * k]
                             ys[i] = flat[2 * k + 1]
@@ -188,15 +225,28 @@ class BatchLoader:
                     native_done = False
             if not native_done:
                 futures = {
-                    i: pool.submit(self.dataset.__getitem__, j)
+                    i: pool.submit(load_example_u8, self.dataset.pairs[j],
+                                   img)
                     for i, j in enumerate(idx) if j >= 0
                 }
                 for i, fut in futures.items():
                     xs[i], ys[i] = fut.result()
+            return xs, ys
+
+        def assemble(idx: Sequence[int], n_valid: int) -> Batch:
+            xs, ys = assemble_u8(idx, n_valid)
             if self.sharding is not None:
-                return Batch(jax.device_put(xs, self.sharding),
-                             jax.device_put(ys, self.sharding), n_valid)
-            return Batch(xs, ys, n_valid)
+                return Batch(
+                    self._dev_normalize(jax.device_put(xs, self.sharding)),
+                    self._dev_normalize(jax.device_put(ys, self.sharding)),
+                    n_valid)
+            # host consumers (reporting/tests) get normalised f32 directly
+            xf = xs.astype(np.float32) / 255.0
+            yf = ys.astype(np.float32) / 255.0
+            if normalize:
+                xf = (xf - 0.5) / 0.5
+                yf = (yf - 0.5) / 0.5
+            return Batch(xf, yf, n_valid)
 
         stop = threading.Event()
 

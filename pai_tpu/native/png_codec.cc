@@ -353,6 +353,48 @@ int pai_resize_aa(const uint8_t* src, int sh, int sw, float* dst, int dh,
   return 0;
 }
 
+// Threaded batch pipeline (uint8 output): decode n PNGs, resize to
+// (size,size) and round back to uint8 — exactly torchvision's
+// read_image(GRAY) + Resize(antialias) on uint8 tensors (dataset.py:51-61),
+// which rounds the resized result to uint8 before the float conversion.
+// Host->device transfer then ships 1 byte/px instead of 4.
+int pai_decode_batch_u8(const char** paths, int n, int size, uint8_t* out,
+                        uint8_t* failed, int num_threads) {
+  std::atomic<int> next(0), failures(0);
+  auto worker = [&]() {
+    std::vector<float> tmp(size_t(size) * size);
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      PngImage img;
+      failed[i] = 0;
+      if (!decode_png(paths[i], &img)) {
+        failed[i] = 1;
+        failures.fetch_add(1);
+        continue;
+      }
+      std::vector<uint8_t> gray;
+      to_gray(img, gray);
+      uint8_t* dst = out + size_t(i) * size * size;
+      if (img.height == size && img.width == size) {
+        std::memcpy(dst, gray.data(), size_t(size) * size);
+      } else {
+        resize_aa_f32(gray.data(), img.height, img.width, tmp.data(), size,
+                      size);
+        for (int j = 0; j < size * size; ++j) {
+          float v = tmp[j] * 255.0f + 0.5f;
+          dst[j] = uint8_t(v < 0 ? 0 : (v > 255 ? 255 : v));
+        }
+      }
+    }
+  };
+  int nt = num_threads > 0 ? num_threads : 4;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failures.load();
+}
+
 // Threaded batch pipeline: decode n PNGs, resize to (size,size), scale to
 // [0,1] float32 and optionally normalize to [-1,1], writing into out
 // (n*size*size floats). Returns 0 on full success; k>0 = number of failed

@@ -45,6 +45,11 @@ _lib.pai_decode_batch.argtypes = [
     ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
     ctypes.c_int, ctypes.POINTER(ctypes.c_float),
     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+_lib.pai_decode_batch_u8.restype = ctypes.c_int
+_lib.pai_decode_batch_u8.argtypes = [
+    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+    ctypes.POINTER(ctypes.c_uint8),
+    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
 
 
 def read_png_gray(path: str) -> np.ndarray:
@@ -94,6 +99,20 @@ def resize_bilinear_antialias(img: np.ndarray, dh: int, dw: int) -> np.ndarray:
     # lossy. Return the float image scaled back to [0,255] for the generic
     # caller which normalises afterwards.
     return dst * 255.0
+
+
+def decode_batch_u8(paths, size: int, num_threads: int = 8):
+    """Decode+resize a list of PNGs into [N, size, size, 1] uint8 (the
+    torchvision semantics: antialiased resize rounded back to uint8)."""
+    n = len(paths)
+    out = np.zeros((n, size, size), np.uint8)
+    failed = np.zeros((n,), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    _lib.pai_decode_batch_u8(
+        arr, n, size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        failed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
+    return out[..., None], failed.astype(bool)
 
 
 def decode_batch(paths, size: int, normalize: bool = True,

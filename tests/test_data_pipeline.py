@@ -57,7 +57,10 @@ def test_batching_and_zero_padding(manifest):
     assert batches[0].n_valid == 4
     assert batches[1].n_valid == 3
     assert batches[1].x.shape == (4, 32, 32, 1)  # fixed shape
-    assert float(np.abs(np.asarray(batches[1].x[3])).max()) == 0.0  # padded
+    # padded rows are zero-pixel images -> normalised constant -1.0; they
+    # are masked everywhere via n_valid
+    pad_row = np.asarray(batches[1].x[3])
+    assert float(pad_row.min()) == float(pad_row.max()) == -1.0
 
 
 def test_cycle_padding(manifest):
