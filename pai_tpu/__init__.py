@@ -20,3 +20,17 @@ Design is TPU-first, not a port:
 Reference layer map: /root/reference (see SURVEY.md)."""
 
 __version__ = "0.1.0"
+
+_API_NAMES = ("Pix2Pix", "AttentionUnetGAN", "ResUnetGAN", "TransUnetGAN",
+              "Palette")
+
+
+def __getattr__(name):
+    """Lazy re-export of the class API (pai_tpu.api) so that
+    ``from pai_tpu import Pix2Pix`` works without importing jax at package
+    import time."""
+    if name in _API_NAMES:
+        from pai_tpu import api
+
+        return getattr(api, name)
+    raise AttributeError(f"module 'pai_tpu' has no attribute '{name}'")
