@@ -24,9 +24,7 @@ from typing import Dict, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from pai_tpu.config import TRAIN_DEFAULTS, compute_dtype
-from pai_tpu.models import build_generator
-from pai_tpu.train import steps as steps_lib
+from pai_tpu.config import TRAIN_DEFAULTS
 from pai_tpu.train.loop import Trainer
 
 
@@ -47,105 +45,71 @@ class _Experiment:
         self.hparams: Dict = dict(
             TRAIN_DEFAULTS,
             model=self.model_name,
+            in_channels=in_channels,
+            out_channels=out_channels,
             channel_mults=",".join(str(m) for m in channel_mults),
             attention_res=",".join(str(a) for a in attention_res),
             dropout=dropout, loss_type=loss_type,
             schedule_type=schedule_type, learn_variance=learn_var,
             precision=precision, image_size=image_size,
         )
-        self.image_size = image_size
         self._params = None
         self._stats = None
+        self._module = None
+        self._predict_fn = None
 
-    # -- construction helpers ------------------------------------------
-    def _build_module(self):
-        from pai_tpu.config import parse_int_list
-
-        return build_generator(
-            self.model_name, 1, 1,
-            channel_mults=parse_int_list(self.hparams["channel_mults"]),
-            attention_res=parse_int_list(self.hparams["attention_res"]),
-            dropout=self.hparams["dropout"],
-            learn_var=self.hparams.get("learn_variance", False),
-            image_size=self.image_size,
-            dtype=compute_dtype(self.hparams["precision"]))
+    @property
+    def image_size(self) -> int:
+        return int(self.hparams.get("image_size") or 256)
 
     # -- training -------------------------------------------------------
     def fit(self, name: str, data: str, val_data: Optional[str] = None,
             **overrides) -> Dict[str, float]:
+        # overrides become part of this model's configuration so the
+        # post-fit weight adoption (and any reload) sees the same structure.
+        self.hparams.update(overrides)
         h = dict(self.hparams, name=name, data=str(data),
-                 val_data=str(val_data) if val_data else None, **overrides)
+                 val_data=str(val_data) if val_data else None)
         trainer = Trainer(h)
         summary = trainer.fit()
-        # adopt the trained weights for predict()
-        try:
-            ckpt = trainer.ckpt.restore("last")[0]
-            self._adopt_state_dict(ckpt)
-        except Exception:
-            pass
+        state_dict, _ = trainer.ckpt.restore("last")
+        self._adopt_state_dict(state_dict, h)
         return summary
 
-    def _adopt_state_dict(self, state_dict) -> None:
-        from flax import serialization
+    def _adopt_state_dict(self, state_dict, h: Dict) -> None:
+        from pai_tpu.restore import rebuild_eval_model
 
-        module = self._build_module()
-        rng = jax.random.key(0)
-        shape = (1, self.image_size, self.image_size, 1)
-        # Abstract template (no device allocation of optimizer state).
-        if self.model_name == "palette":
-            template = jax.eval_shape(lambda: steps_lib.init_palette_state(
-                module, rng, shape, self.hparams.get("ema", False)))
-            state = serialization.from_state_dict(template, state_dict)
-            self._params = steps_lib.palette_eval_params(state)
-            self._stats = state.stats
-        else:
-            from pai_tpu.models import Discriminator
-
-            disc = Discriminator() \
-                if self.hparams.get("loss_type") == "gan" else None
-            template = jax.eval_shape(lambda: steps_lib.init_gan_state(
-                module, disc, rng, shape,
-                self.hparams.get("loss_type", "gan"),
-                self.hparams.get("ema", False)))
-            state = serialization.from_state_dict(template, state_dict)
-            self._params = steps_lib.gan_eval_params(state)
-            self._stats = state.g_stats
-        self._params = jax.device_put(self._params)
-        self._stats = jax.device_put(self._stats)
-        self._module = module
+        self._module, self._params, self._stats, _ = rebuild_eval_model(
+            state_dict, h)
+        self._predict_fn = None  # rebuilt lazily against the new module
 
     @classmethod
     def load_from_checkpoint(cls, path: str):
         """Rebuild the model purely from a checkpoint (report.py:26-43)."""
         from pai_tpu.utils.checkpoint import load_checkpoint
-        from pai_tpu.config import parse_int_list
 
         state_dict, meta = load_checkpoint(str(path))
-        h = meta["hparams"]
+        h = dict(TRAIN_DEFAULTS, **meta["hparams"])
         obj = cls.__new__(cls)
-        if not obj.model_name:
-            obj.model_name = h["model"]
-        obj.hparams = dict(TRAIN_DEFAULTS, **h)
-        obj.image_size = int(h.get("image_size") or 256)
+        # the checkpoint's hyperparameters are authoritative (e.g. a
+        # ResUnetGAN checkpoint knows which residual block type it is)
+        obj.model_name = h["model"]
+        obj.hparams = h
         obj._params = None
         obj._stats = None
-        obj._adopt_state_dict(state_dict)
+        obj._module = None
+        obj._predict_fn = None
+        obj._adopt_state_dict(state_dict, h)
         return obj
 
     # -- inference ------------------------------------------------------
-    def predict(self, x, rng: Optional[jax.Array] = None):
-        """Eval-mode prediction on an NHWC batch in [-1, 1] (jitted; params
-        passed as arguments so no weight constants are baked in)."""
-        if self._params is None:
-            raise ValueError("no weights: call fit() or load_from_checkpoint")
+    def _build_predict_fn(self):
         module = self._module
         learn_var = self.hparams.get("learn_variance", False)
-
         if self.model_name == "palette":
             from pai_tpu.diffusion import ddpm_sample, make_schedule
 
             sched_inf = make_schedule("cosine", 100)
-            rng = rng if rng is not None else jax.random.key(0)
 
             @jax.jit
             def run(p, s, xb, key):
@@ -157,7 +121,7 @@ class _Experiment:
 
                 return ddpm_sample(sched_inf, denoise, xb, key, learn_var)
 
-            return run(self._params, self._stats, jnp.asarray(x), rng)
+            return run
 
         @jax.jit
         def run(p, s, xb):
@@ -166,7 +130,19 @@ class _Experiment:
                 variables["batch_stats"] = s
             return module.apply(variables, xb, train=False)
 
-        return run(self._params, self._stats, jnp.asarray(x))
+        return lambda p, s, xb, key: run(p, s, xb)
+
+    def predict(self, x, rng: Optional[jax.Array] = None):
+        """Eval-mode prediction on an NHWC batch in [-1, 1]. The jitted
+        program is cached on the instance (params are jit arguments, so no
+        weight constants are baked in)."""
+        if self._params is None:
+            raise ValueError("no weights: call fit() or load_from_checkpoint")
+        if self._predict_fn is None:
+            self._predict_fn = self._build_predict_fn()
+        key = rng if rng is not None else jax.random.key(0)
+        return self._predict_fn(self._params, self._stats, jnp.asarray(x),
+                                key)
 
     __call__ = predict
 

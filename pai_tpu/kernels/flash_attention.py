@@ -33,7 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128  # lse/delta are broadcast across one lane tile
+# lse/delta carry one value per row, broadcast across a narrow lane tile.
+# Measured fwd+bwd at T=4096 b2 h4 d64 on v5e: LANES=8 4.70 ms, 128 4.84 ms
+# (16x the residual memory), 1 5.56 ms (1-lane loads are slow) — 8 is the
+# sweet spot and satisfies block tiling via block-dim == array-dim equality.
+LANES = 8
 
 
 def _block_sizes(t: int, d: int):

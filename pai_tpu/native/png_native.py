@@ -22,8 +22,15 @@ def _build() -> None:
                    capture_output=True)
 
 
-if not os.path.exists(_SO):
+# Always invoke make: it is mtime-incremental, so this is a no-op when the
+# library is current but rebuilds automatically when png_codec.cc gains new
+# symbols (a stale cached .so would otherwise fail the ctypes binding below
+# and silently disable the whole native fast path).
+try:
     _build()
+except Exception:
+    if not os.path.exists(_SO):
+        raise
 
 _lib = ctypes.CDLL(_SO)
 

@@ -35,59 +35,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pai_tpu.config import compute_dtype, parse_int_list
 from pai_tpu.data import BatchLoader, ImageDataset
 from pai_tpu.diffusion import make_schedule
-from pai_tpu.models import Discriminator, build_generator
-from pai_tpu.train import steps as steps_lib
 from pai_tpu.utils import metrics
 from pai_tpu.utils.checkpoint import load_checkpoint
 from pai_tpu.utils.flops import count_flops, parameter_count
 from pai_tpu.utils.images import afmhot_rgb, denormalize, to_int_np, write_png
-from flax import serialization
 
 IMAGE_SIZE = 256
 
 
 def _rebuild_from_checkpoint(model_name: str, ckpt_path: str):
-    """Reconstruct the eval-mode model + parameters from a checkpoint alone."""
+    """Reconstruct the eval-mode model + parameters from a checkpoint alone
+    (shared logic in pai_tpu.restore)."""
+    from pai_tpu.restore import rebuild_eval_model
+
     state_dict, meta = load_checkpoint(ckpt_path)
-    h = meta["hparams"]
-    dtype = compute_dtype(h.get("precision", "32"))
-    mults = parse_int_list(h["channel_mults"])
-    attn = parse_int_list(h["attention_res"])
-    learn_var = h.get("learn_variance", False)
-    image_size = int(h.get("image_size") or IMAGE_SIZE)
-
-    generator = build_generator(
-        model_name, 1, 1, channel_mults=mults, attention_res=attn,
-        dropout=h.get("dropout", 0.0), learn_var=learn_var,
-        image_size=image_size, dtype=dtype)
-
-    rng = jax.random.key(0)
-    batch_shape = (1, image_size, image_size, 1)
-    # Abstract (eval_shape) template: restoring through a *concrete* train
-    # state would materialise params + Adam moments on device (12+ GB for
-    # the 1B-param trans_unet) just to throw them away. The restored leaves
-    # are host numpy; only the eval params get device_put, once.
-    if model_name == "palette":
-        template = jax.eval_shape(lambda: steps_lib.init_palette_state(
-            generator, rng, batch_shape, h.get("ema", False)))
-        state = serialization.from_state_dict(template, state_dict)
-        params = steps_lib.palette_eval_params(state)
-        stats = state.stats
-    else:
-        discriminator = Discriminator(dtype=dtype) \
-            if h.get("loss_type") == "gan" else None
-        template = jax.eval_shape(lambda: steps_lib.init_gan_state(
-            generator, discriminator, rng, batch_shape,
-            h.get("loss_type", "gan"), h.get("ema", False)))
-        state = serialization.from_state_dict(template, state_dict)
-        params = steps_lib.gan_eval_params(state)
-        stats = state.g_stats
-    params = jax.device_put(params)
-    stats = jax.device_put(stats)
-    return generator, params, stats, h, learn_var, image_size
+    h = dict(meta["hparams"], model=model_name)
+    generator, params, stats, image_size = rebuild_eval_model(state_dict, h)
+    return generator, params, stats, h, h.get("learn_variance",
+                                              False), image_size
 
 
 def run_report(name: str, checkpoint: Optional[str], data: str,

@@ -74,8 +74,14 @@ class Trainer:
         self.mesh = make_mesh(devices[:dp * self.tp], tp=self.tp)
         self.batch_shard = batch_sharding(self.mesh)
 
+        # channel counts: 1 for the CLI (grayscale PAI data, main.py:25-101);
+        # the class API may override via hparams
+        self.in_channels = int(hparams.get("in_channels", IN_CHANNELS) or
+                               IN_CHANNELS)
+        self.out_channels = int(hparams.get("out_channels", OUT_CHANNELS) or
+                                OUT_CHANNELS)
         self.generator = build_generator(
-            self.model_name, IN_CHANNELS, OUT_CHANNELS,
+            self.model_name, self.in_channels, self.out_channels,
             channel_mults=self.mults, attention_res=self.attn_res,
             dropout=hparams["dropout"],
             learn_var=hparams.get("learn_variance", False),
@@ -125,7 +131,7 @@ class Trainer:
 
     def init_state(self, rng):
         batch_shape = (self.hparams["batch_size"], self.image_size,
-                       self.image_size, IN_CHANNELS)
+                       self.image_size, self.in_channels)
         if self.is_palette:
             state = steps_lib.init_palette_state(
                 self.generator, rng, batch_shape, self.hparams["ema"])
