@@ -201,7 +201,8 @@ class TransUnet(nn.Module):
             h = ConvDecoderBlock(mult * 64, dtype=self.dtype,
                                  name=f"dec_{i}")(h, train)
 
-        h = jnp.concatenate([h, skips.pop()], axis=-1)
+        if skips:  # single-level configs have no remaining skip
+            h = jnp.concatenate([h, skips.pop()], axis=-1)
         h = ConvDecoderBlock(64, dtype=self.dtype, name="dec_final")(h, train)
 
         h = Conv(self.out_channels, 3, padding=1, dtype=self.dtype,

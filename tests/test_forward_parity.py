@@ -306,6 +306,88 @@ def test_attention_unet_forward_matches_reference():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_trans_unet_forward_matches_reference():
+    """TransUNet full chain: stem, stride-2 bottleneck encoders, patchify +
+    12-layer post-LN ViT, conv decoders, tanh head (trans_unet.py). Fixture
+    built from the reference with its silent batch-axis attention corrected
+    to the intended per-sample patch attention (see
+    tools/make_parity_fixture.make_trans_unet_fixture)."""
+    z, w = _load_fixture("trans_tiny.npz")
+    from pai_tpu.models.trans_unet import TransUnet
+
+    model = TransUnet(out_channels=1, image_size=32, channel_mults=(1, 1),
+                      patch_size=4, num_heads=8, dropout=0.0)
+    params, stats = {}, {}
+    _cv(params, w, ("stem",), "tr.in_conv")
+    for e in range(2):
+        tm = f"tr.encoders.{e}"
+        my = (f"enc_{e}",)
+        for conv_i, bn_i, tsub in ((0, 0, "decode.0"), (1, 1, "decode.3"),
+                                   (2, 2, "decode.6"), (3, 3, "skip.0")):
+            tmod = f"{tm}.{tsub}"
+            # bias-free convs (trans_unet.py:196-222)
+            params[my + (f"Conv_{conv_i}", "kernel")] = _conv(
+                w[f"{tmod}.weight"])
+        for bn_i, tsub in ((0, "decode.1"), (1, "decode.4"), (2, "decode.7"),
+                           (3, "skip.1")):
+            _bn(params, w, my + (f"BatchNorm_{bn_i}", "BatchNorm_0"),
+                f"{tm}.{tsub}", params, stats)
+
+    vb = "tr.vit_bottleneck"
+    for ln_i, tsub in ((0, "to_patch_embedding.1"),
+                       (1, "to_patch_embedding.3")):
+        params[("vit", f"LayerNorm_{ln_i}", "LayerNorm_0", "scale")] = \
+            jnp.asarray(w[f"{vb}.{tsub}.weight"])
+        params[("vit", f"LayerNorm_{ln_i}", "LayerNorm_0", "bias")] = \
+            jnp.asarray(w[f"{vb}.{tsub}.bias"])
+    params[("vit", "Dense_0", "Dense_0", "kernel")] = jnp.asarray(
+        w[f"{vb}.to_patch_embedding.2.weight"].T)
+    params[("vit", "Dense_0", "Dense_0", "bias")] = jnp.asarray(
+        w[f"{vb}.to_patch_embedding.2.bias"])
+    params[("vit", "pos_embedding")] = jnp.asarray(w[f"{vb}.pos_embedding"])
+    for i in range(12):
+        tl = f"{vb}.transformer.layers.{i}"
+        my = ("vit", f"layer_{i}")
+        params[my + ("in_proj", "Dense_0", "kernel")] = jnp.asarray(
+            w[f"{tl}.self_attn.in_proj_weight"].T)
+        params[my + ("in_proj", "Dense_0", "bias")] = jnp.asarray(
+            w[f"{tl}.self_attn.in_proj_bias"])
+        params[my + ("out_proj", "Dense_0", "kernel")] = jnp.asarray(
+            w[f"{tl}.self_attn.out_proj.weight"].T)
+        params[my + ("out_proj", "Dense_0", "bias")] = jnp.asarray(
+            w[f"{tl}.self_attn.out_proj.bias"])
+        params[my + ("ffn1", "Dense_0", "kernel")] = jnp.asarray(
+            w[f"{tl}.linear1.weight"].T)
+        params[my + ("ffn1", "Dense_0", "bias")] = jnp.asarray(
+            w[f"{tl}.linear1.bias"])
+        params[my + ("ffn2", "Dense_0", "kernel")] = jnp.asarray(
+            w[f"{tl}.linear2.weight"].T)
+        params[my + ("ffn2", "Dense_0", "bias")] = jnp.asarray(
+            w[f"{tl}.linear2.bias"])
+        for ln_i, tn in ((0, "norm1"), (1, "norm2")):
+            params[my + (f"LayerNorm_{ln_i}", "LayerNorm_0", "scale")] = \
+                jnp.asarray(w[f"{tl}.{tn}.weight"])
+            params[my + (f"LayerNorm_{ln_i}", "LayerNorm_0", "bias")] = \
+                jnp.asarray(w[f"{tl}.{tn}.bias"])
+
+    for d, tm in (("dec_0", "tr.decoders.0.decode"),
+                  ("dec_final", "tr.decoders.1.decode")):
+        _cv(params, w, (d, "Conv_0"), f"{tm}.0")
+        _bn(params, w, (d, "BatchNorm_0", "BatchNorm_0"), f"{tm}.1",
+            params, stats)
+        _cv(params, w, (d, "Conv_1"), f"{tm}.3")
+        _bn(params, w, (d, "BatchNorm_1", "BatchNorm_0"), f"{tm}.4",
+            params, stats)
+    _cv(params, w, ("head",), "tr.out.0")
+
+    x = jnp.asarray(np.transpose(z["in0"], (0, 2, 3, 1)))
+    out = model.apply({"params": unflatten_dict(params),
+                       "batch_stats": unflatten_dict(stats)}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.transpose(z["out"], (0, 2, 3, 1)),
+                               rtol=1e-4, atol=2e-5)
+
+
 def test_discriminator_forward_matches_reference(fixture):
     z, w = fixture
     from pai_tpu.models import Discriminator

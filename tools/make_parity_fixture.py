@@ -201,6 +201,32 @@ def make_attention_unet_fixture():
         print("  ", name, shape)
 
 
+def make_trans_unet_fixture():
+    """TransUNet full chain (bottleneck encoders, 12-layer ViT, conv dec).
+    Smallest legal config: mults (1,1) at 32² -> patch_dim 1024 (~100M
+    params, regenerated from the deterministic stream at test time).
+
+    The reference feeds (N, patches, dim) into a TransformerEncoder built
+    without batch_first (trans_unet.py:151-161), silently attending across
+    the batch axis; pai_tpu implements the intended per-sample patch
+    attention (documented deviation). The fixture therefore flips
+    batch_first on the reference's MHA modules so it computes the intended
+    semantics — everything else is the untouched reference chain."""
+    sys.path.insert(0, "/root/reference")
+    from models.trans_unet import TransUnet
+
+    model = TransUnet(1, 1, image_size=32, channel_mults=(1, 1),
+                      patch_size=4, num_heads=8, dropout=0.0)
+    for layer in model.vit_bottleneck.transformer.layers:
+        layer.self_attn.batch_first = True
+    rng = np.random.default_rng(23)
+    x = rng.uniform(-1, 1, (1, 1, 32, 32)).astype(np.float32)
+    manifest = _fixture_for(model, "tr", (x,), "trans_tiny.npz",
+                            lambda m, a: m(a))
+    for name, shape in manifest:
+        print("  ", name, shape)
+
+
 def main():
     import torch
 
@@ -252,3 +278,4 @@ if __name__ == "__main__":
     make_diffusion_fixture()
     make_res18_fixture()
     make_attention_unet_fixture()
+    make_trans_unet_fixture()
