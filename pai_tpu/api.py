@@ -56,7 +56,7 @@ class _Experiment:
         self._params = None
         self._stats = None
         self._module = None
-        self._predict_fn = None
+        self._predict_fns = None
 
     @property
     def image_size(self) -> int:
@@ -81,7 +81,7 @@ class _Experiment:
 
         self._module, self._params, self._stats, _ = rebuild_eval_model(
             state_dict, h)
-        self._predict_fn = None  # rebuilt lazily against the new module
+        self._predict_fns = None  # rebuilt lazily against the new module
 
     @classmethod
     def load_from_checkpoint(cls, path: str):
@@ -98,18 +98,21 @@ class _Experiment:
         obj._params = None
         obj._stats = None
         obj._module = None
-        obj._predict_fn = None
+        obj._predict_fns = None
         obj._adopt_state_dict(state_dict, h)
         return obj
 
     # -- inference ------------------------------------------------------
-    def _build_predict_fn(self):
+    def _build_predict_fn(self, output_process: bool = False):
         module = self._module
         learn_var = self.hparams.get("learn_variance", False)
         if self.model_name == "palette":
             from pai_tpu.diffusion import ddpm_sample, make_schedule
 
             sched_inf = make_schedule("cosine", 100)
+            # Reference's 8-frame reverse-process capture: y_T plus every
+            # (timesteps // 7)-th step (models/palette.py:79-100).
+            capture = sched_inf.timesteps // 7 if output_process else None
 
             @jax.jit
             def run(p, s, xb, key):
@@ -119,7 +122,8 @@ class _Experiment:
                         variables["batch_stats"] = s
                     return module.apply(variables, c, y_t, gamma, train=False)
 
-                return ddpm_sample(sched_inf, denoise, xb, key, learn_var)
+                return ddpm_sample(sched_inf, denoise, xb, key, learn_var,
+                                   capture_every=capture)
 
             return run
 
@@ -132,17 +136,29 @@ class _Experiment:
 
         return lambda p, s, xb, key: run(p, s, xb)
 
-    def predict(self, x, rng: Optional[jax.Array] = None):
+    def predict(self, x, rng: Optional[jax.Array] = None,
+                output_process: bool = False):
         """Eval-mode prediction on an NHWC batch in [-1, 1]. The jitted
         program is cached on the instance (params are jit arguments, so no
-        weight constants are baked in)."""
+        weight constants are baked in).
+
+        ``output_process=True`` (Palette only) additionally returns the
+        reverse-diffusion process frames — ``(y_0, process[N, F, H, W, C])``:
+        y_T plus every (timesteps // 7)-th intermediate (F = 9 for the
+        100-step inference schedule), matching the reference's
+        ``forward(output_process=True)`` (models/palette.py:79-100)."""
         if self._params is None:
             raise ValueError("no weights: call fit() or load_from_checkpoint")
-        if self._predict_fn is None:
-            self._predict_fn = self._build_predict_fn()
+        if output_process and self.model_name != "palette":
+            raise ValueError("output_process is only supported by Palette")
+        if self._predict_fns is None:
+            self._predict_fns = {}
+        if output_process not in self._predict_fns:
+            self._predict_fns[output_process] = self._build_predict_fn(
+                output_process)
         key = rng if rng is not None else jax.random.key(0)
-        return self._predict_fn(self._params, self._stats, jnp.asarray(x),
-                                key)
+        return self._predict_fns[output_process](
+            self._params, self._stats, jnp.asarray(x), key)
 
     __call__ = predict
 

@@ -58,3 +58,33 @@ def test_palette_constructor_defaults():
     model = Palette(channel_mults=(1, 2), attention_res=(2,), image_size=32)
     assert model.model_name == "palette"
     assert model.hparams["attention_res"] == "2"
+
+
+def test_palette_predict_output_process(tmp_path, dataset):
+    """Palette.predict(output_process=True) returns the reference's
+    reverse-process stack (models/palette.py:79-100): y_T plus every
+    (timesteps // 7)-th frame — 9 frames for the 100-step inference
+    schedule — with the last frame equal to y_0."""
+    from pai_tpu.api import Palette
+
+    model = Palette(channel_mults=(1, 2), attention_res=(2,), image_size=16)
+    model.fit("palproc", dataset, epochs=1, batch_size=4, image_size=16,
+              log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ck"))
+
+    x = jnp.zeros((1, 16, 16, 1))
+    y0, process = model.predict(x, output_process=True)
+    assert y0.shape == (1, 16, 16, 1)
+    assert process.shape == (1, 9, 16, 16, 1)
+    np.testing.assert_array_equal(np.asarray(process[:, -1]), np.asarray(y0))
+    # plain predict still returns only y_0, from the same weights
+    y0_only = model.predict(x)
+    assert y0_only.shape == (1, 16, 16, 1)
+
+
+def test_output_process_rejected_for_gan_models():
+    from pai_tpu.api import Pix2Pix
+
+    model = Pix2Pix(channel_mults=(1, 2), loss_type="mse", image_size=32)
+    model._params = {}  # sidestep the no-weights check
+    with pytest.raises(ValueError, match="output_process"):
+        model.predict(jnp.zeros((1, 32, 32, 1)), output_process=True)
