@@ -127,6 +127,20 @@ if __name__ == "__main__":
     parser.add_argument("--tp", default=1, type=int,
                         help="Tensor-parallel degree (Megatron channel "
                              "sharding over the mesh 'tp' axis).")
+    parser.add_argument("--scan-steps", default=1, type=int,
+                        help="Fold this many optimizer steps into one "
+                             "compiled lax.scan dispatch (must divide the "
+                             "10-step log cadence).")
+    parser.add_argument("--sp", default=1, type=int,
+                        help="Sequence-parallel degree: diffusion-UNet "
+                             "attention tokens sharded over the mesh 'sp' "
+                             "axis (exact ring attention).")
+    parser.add_argument("--warmup-unit", default="epoch",
+                        choices=("epoch", "step"),
+                        help="Palette LinearLR warmup unit: 'epoch' matches "
+                             "the reference (Lightning steps the scheduler "
+                             "per epoch); 'step' warms up per optimizer "
+                             "step.")
     args = parser.parse_args()
 
     main(args)

@@ -30,7 +30,13 @@ TRAIN_DEFAULTS: Dict = {
     "log_dir": "logs",
     "ckpt_dir": "checkpoints",
     "tp": 1,
+    "sp": 1,
+    "scan_steps": 1,
     "profile_dir": None,
+    # palette LinearLR warmup unit: "epoch" replicates Lightning's
+    # per-epoch scheduler stepping (models/palette.py:102-108);
+    # "step" advances the warmup per optimizer step.
+    "warmup_unit": "epoch",
 }
 
 

@@ -60,6 +60,14 @@ class Trainer:
         self.mults = parse_int_list(hparams["channel_mults"])
         self.attn_res = parse_int_list(hparams["attention_res"])
 
+        # Multi-process pod runtime (SURVEY §2.5): initialise the JAX
+        # distributed system when launcher env is present, BEFORE the first
+        # backend touch — jax.devices() below is then the global pod list.
+        from pai_tpu.parallel.distributed import maybe_initialize_distributed
+
+        self.process_index, self.process_count = \
+            maybe_initialize_distributed()
+
         # Mesh: 'tp' from --tp (tensor parallel, Megatron channel sharding);
         # data-parallel degree = the largest device count that divides the
         # global batch (reference trains unsharded, dataset.py drop_last=False).
@@ -67,12 +75,22 @@ class Trainer:
 
         devices = jax.devices()
         self.tp = int(hparams.get("tp", 1) or 1)
-        if len(devices) % self.tp:
+        self.sp = int(hparams.get("sp", 1) or 1)
+        if len(devices) % (self.tp * self.sp):
             raise ValueError(
-                f"--tp {self.tp} does not divide {len(devices)} devices")
-        dp = _math.gcd(hparams["batch_size"], len(devices) // self.tp)
-        self.mesh = make_mesh(devices[:dp * self.tp], tp=self.tp)
+                f"--tp {self.tp} x --sp {self.sp} does not divide "
+                f"{len(devices)} devices")
+        dp = _math.gcd(hparams["batch_size"],
+                       len(devices) // (self.tp * self.sp))
+        self.mesh = make_mesh(devices[:dp * self.tp * self.sp],
+                              tp=self.tp, sp=self.sp)
         self.batch_shard = batch_sharding(self.mesh)
+        # Ring attention when --sp > 1: diffusion-UNet attention tokens
+        # sharded over the 'sp' axis (exact, ppermute K/V streaming over
+        # ICI). Cleared otherwise — the context is process-global.
+        from pai_tpu.ops import attention as attention_ops
+
+        attention_ops.set_sequence_mesh(self.mesh if self.sp > 1 else None)
 
         # channel counts: 1 for the CLI (grayscale PAI data, main.py:25-101);
         # the class API may override via hparams
@@ -104,12 +122,13 @@ class Trainer:
         self._build_steps()
 
     # ------------------------------------------------------------------
-    def _build_steps(self):
+    def _build_steps(self, palette_steps_per_epoch: Optional[int] = None):
         h = self.hparams
         if self.is_palette:
             train_step = steps_lib.make_palette_train_step(
                 self.generator, self.sched_train,
-                h.get("learn_variance", False))
+                h.get("learn_variance", False),
+                warmup_steps_per_epoch=palette_steps_per_epoch)
             self.sample_step = jax.jit(steps_lib.make_palette_sample_step(
                 self.generator, self.sched_inf,
                 h.get("learn_variance", False)))
@@ -128,6 +147,15 @@ class Trainer:
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         if self.is_palette:
             self.train_step_lean = self.train_step
+        if int(h.get("scan_steps", 1) or 1) > 1:
+            scan = (steps_lib.make_palette_train_scan(
+                        self.generator, self.sched_train,
+                        h.get("learn_variance", False),
+                        warmup_steps_per_epoch=palette_steps_per_epoch)
+                    if self.is_palette else
+                    steps_lib.make_gan_train_scan(
+                        self.generator, self.discriminator, h["loss_type"]))
+            self.train_scan = jax.jit(scan, donate_argnums=(0,))
 
     def init_state(self, rng):
         batch_shape = (self.hparams["batch_size"], self.image_size,
@@ -207,12 +235,24 @@ class Trainer:
     def fit(self) -> Dict[str, float]:
         h = self.hparams
         self.train_dataset = ImageDataset(h["data"], self.image_size)
+        if self.is_palette and h.get("warmup_unit", "epoch") == "epoch":
+            # Reference parity: Lightning steps the LinearLR scheduler once
+            # per epoch (models/palette.py:102-108), so the 10k-iteration
+            # warmup is measured in epochs. --warmup-unit step opts into
+            # per-step warmup instead.
+            import math as _math
+
+            spe = max(1, _math.ceil(len(self.train_dataset)
+                                    / h["batch_size"]))
+            self._build_steps(palette_steps_per_epoch=spe)
         self.val_dataset = ImageDataset(h["val_data"], self.image_size) \
             if h.get("val_data") else None
         # One val loader for the whole fit (thread pool reused per epoch).
         self.val_loader = BatchLoader(
             self.val_dataset, h["batch_size"], shuffle=False,
-            pad_mode="zero", sharding=self.batch_shard) \
+            pad_mode="zero", sharding=self.batch_shard,
+            process_index=self.process_index,
+            process_count=self.process_count) \
             if self.val_dataset else None
 
         rng = jax.random.key(h.get("seed", 0))
@@ -248,38 +288,77 @@ class Trainer:
         loader = BatchLoader(
             self.train_dataset, h["batch_size"], shuffle=True,
             pad_mode="cycle", seed=h.get("seed", 0),
-            sharding=self.batch_shard)
+            sharding=self.batch_shard,
+            process_index=self.process_index,
+            process_count=self.process_count)
+
+        scan_k = int(h.get("scan_steps", 1) or 1)
+        if scan_k > 1 and 10 % scan_k:
+            raise ValueError("--scan-steps must divide the 10-step log "
+                             "cadence (1, 2, 5 or 10)")
+
+        def process_single(state, batch, epoch):
+            """One optimizer step + the logging/failure/profile bookkeeping."""
+            nonlocal global_step, images_seen, profiling, done
+            log_this = (global_step + 1) % 10 == 0
+            step_fn = self.train_step if log_this else self.train_step_lean
+            state, metrics = step_fn(state, batch.x, batch.y, train_rng)
+            global_step += 1
+            images_seen += batch.n_valid
+            if log_this:
+                # fetch and log (only host sync point in the loop)
+                vals = {k: float(v) for k, v in
+                        jax.device_get(metrics).items()}
+                self.logger.log_metrics(vals, global_step, epoch)
+                # failure detection (SURVEY §5: reference has none):
+                # halt on divergence with an emergency checkpoint rather
+                # than burning the remaining epochs on NaNs.
+                if not np.isfinite(vals.get("loss", 0.0)):
+                    self.ckpt.save_last(
+                        self._state_dict(state), sanitize_hparams(h),
+                        global_step, epoch)
+                    raise FloatingPointError(
+                        f"non-finite loss at step {global_step} "
+                        f"(state saved to last)")
+            if profiling and global_step >= 12:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"[pai_tpu] profile written to {profile_dir}")
+            if max_steps > 0 and global_step >= max_steps:
+                done = True
+            return state
 
         epoch = start_epoch - 1  # resume may already satisfy the epoch budget
         for epoch in range(start_epoch, h["epochs"]):
             loader.epoch = epoch  # deterministic per-epoch shuffle
+            pending = []
             for batch in loader:
-                log_this = (global_step + 1) % 10 == 0
-                step_fn = self.train_step if log_this else self.train_step_lean
-                state, metrics = step_fn(state, batch.x, batch.y, train_rng)
-                global_step += 1
-                images_seen += batch.n_valid
-                if log_this:
-                    # fetch and log (only host sync point in the loop)
-                    vals = {k: float(v) for k, v in
-                            jax.device_get(metrics).items()}
-                    self.logger.log_metrics(vals, global_step, epoch)
-                    # failure detection (SURVEY §5: reference has none):
-                    # halt on divergence with an emergency checkpoint rather
-                    # than burning the remaining epochs on NaNs.
-                    if not np.isfinite(vals.get("loss", 0.0)):
-                        self.ckpt.save_last(
-                            self._state_dict(state), sanitize_hparams(h),
-                            global_step, epoch)
-                        raise FloatingPointError(
-                            f"non-finite loss at step {global_step} "
-                            f"(state saved to last)")
-                if profiling and global_step >= 12:
-                    jax.profiler.stop_trace()
-                    profiling = False
-                    print(f"[pai_tpu] profile written to {profile_dir}")
-                if max_steps > 0 and global_step >= max_steps:
-                    done = True
+                # --scan-steps: fold K-1 lean steps into one lax.scan
+                # dispatch, then one regular step so logging-boundary
+                # metrics (train_ssim etc.) stay intact. Chunks start only
+                # on K-aligned steps so boundaries land on chunk ends.
+                if (scan_k > 1 and not profiling
+                        and global_step % scan_k == 0
+                        and (max_steps <= 0
+                             or global_step + scan_k <= max_steps)):
+                    pending.append(batch)
+                    if len(pending) < scan_k:
+                        continue
+                    head, last = pending[:-1], pending[-1]
+                    pending = []
+                    xs = jnp.stack([b.x for b in head])
+                    ys = jnp.stack([b.y for b in head])
+                    state, _ = self.train_scan(state, xs, ys, train_rng)
+                    global_step += scan_k - 1
+                    images_seen += sum(b.n_valid for b in head)
+                    state = process_single(state, last, epoch)
+                else:
+                    state = process_single(state, batch, epoch)
+                if done:
+                    break
+            for batch in pending:  # epoch-end remainder: plain steps
+                state = process_single(state, batch, epoch)
+                if done:
                     break
 
             if (epoch + 1) % h["val_epochs"] == 0 and self.val_dataset:

@@ -4,9 +4,13 @@
   eps=1e-7 for both generator and discriminator (``models/wrapper.py:97-115``).
 * Palette: Adam lr=1e-4 with a linear warmup over 10,000 iterations starting
   at factor 1/3 (torch ``LinearLR`` defaults, ``models/palette.py:102-108``).
-  Documented deviation: the reference hands the scheduler to Lightning, which
-  steps it per *epoch*, so its warmup effectively never completes at default
-  settings; this rebuild applies the clearly intended per-step warmup.
+  The reference hands the scheduler to Lightning, which steps it once per
+  *epoch*, so the warmup unit is epochs (at 200 default epochs the reference
+  effectively trains at ~lr/3 throughout). The default replicates that
+  exactly via ``steps_per_epoch``; ``steps_per_epoch=None`` applies the
+  warmup per optimizer step instead — the documented opt-in
+  (``--warmup-unit step``) for the behaviour the torch code presumably
+  intended.
 
 EMA (when enabled) covers *all* parameters — generator and discriminator —
 matching ``EMACallback`` over ``pl_module.parameters()`` (callbacks/ema.py:19-22).
@@ -29,9 +33,12 @@ def gan_optimizer() -> optax.GradientTransformation:
 
 def palette_optimizer(
         warmup_iters: int = 10000,
-        base_lr: float = 1e-4) -> optax.GradientTransformation:
+        base_lr: float = 1e-4,
+        steps_per_epoch: Optional[int] = None
+) -> optax.GradientTransformation:
     def schedule(step):
-        frac = jnp.minimum(step.astype(jnp.float32), warmup_iters) / warmup_iters
+        unit = step if steps_per_epoch is None else step // steps_per_epoch
+        frac = jnp.minimum(unit.astype(jnp.float32), warmup_iters) / warmup_iters
         factor = 1.0 / 3.0 + (1.0 - 1.0 / 3.0) * frac
         return base_lr * factor
 

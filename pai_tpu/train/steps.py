@@ -101,12 +101,15 @@ def init_palette_state(unet, rng, batch_shape, use_ema: bool
 # GAN families
 # --------------------------------------------------------------------------
 def make_gan_train_step(generator, discriminator, loss_type: str,
-                        compute_metrics: bool = True):
+                        compute_metrics: bool = True,
+                        with_grads: bool = False):
     """``compute_metrics=False`` builds a lean variant without the per-step
     SSIM/PSNR/RMSE evaluation; the training loop uses it on non-logging
     steps (the reference computes metrics every step but only records every
     10th — wrapper.py:150-156 + main.py:126 — so logged values are
-    identical)."""
+    identical). ``with_grads=True`` additionally returns the raw generator
+    and discriminator gradients in the metrics dict (SPMD equivalence
+    tests only — comparing post-Adam params is reduction-order fragile)."""
     g_tx = gan_optimizer()
     d_tx = gan_optimizer()
 
@@ -155,6 +158,8 @@ def make_gan_train_step(generator, discriminator, loss_type: str,
                 d_grads, state.d_opt, state.d_params)
             new_d_params = optax.apply_updates(state.d_params, d_updates)
             aux_metrics["d_loss"] = d_loss
+            if with_grads:
+                aux_metrics["d_grads"] = d_grads
 
         # --- generator phase against the updated D (wrapper.py:140-162) ---
         def g_loss_from_pred(pred_):
@@ -166,6 +171,8 @@ def make_gan_train_step(generator, discriminator, loss_type: str,
 
         g_loss, dpred = jax.value_and_grad(g_loss_from_pred)(pred)
         (g_grads,) = g_vjp(dpred)
+        if with_grads:
+            aux_metrics["g_grads"] = g_grads
         g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         new_g_params = optax.apply_updates(state.g_params, g_updates)
 
@@ -194,6 +201,46 @@ def make_gan_train_step(generator, discriminator, loss_type: str,
     return train_step
 
 
+def make_gan_train_scan(generator, discriminator, loss_type: str):
+    """K optimizer steps per dispatch: ``lax.scan`` over K stacked batches
+    (xs, ys: [K, B, H, W, C]) — no host round-trips between steps, and XLA
+    overlaps batch k+1's transfer with step k. Returns the final step's
+    loss metrics (the logging boundary); use with K dividing the 10-step
+    log cadence."""
+    step = make_gan_train_step(generator, discriminator, loss_type,
+                               compute_metrics=False)
+
+    def scan_steps(state: GanTrainState, xs, ys, rng):
+        def body(s, xy):
+            x, y = xy
+            s, m = step(s, x, y, rng)  # step folds rng by s.step
+            return s, m
+
+        state, metrics = jax.lax.scan(body, state, (xs, ys))
+        return state, jax.tree.map(lambda a: a[-1], metrics)
+
+    return scan_steps
+
+
+def make_palette_train_scan(unet, sched: DiffusionSchedule, learn_var: bool,
+                            warmup_steps_per_epoch=None):
+    """Palette counterpart of :func:`make_gan_train_scan`."""
+    step = make_palette_train_step(
+        unet, sched, learn_var,
+        warmup_steps_per_epoch=warmup_steps_per_epoch)
+
+    def scan_steps(state: PaletteTrainState, xs, ys, rng):
+        def body(s, xy):
+            x, y = xy
+            s, m = step(s, x, y, rng)
+            return s, m
+
+        state, metrics = jax.lax.scan(body, state, (xs, ys))
+        return state, jax.tree.map(lambda a: a[-1], metrics)
+
+    return scan_steps
+
+
 def make_gan_eval_step(generator):
     """Eval-mode forward + per-image metrics; rows >= n_valid are masked out
     by the caller via the returned per-image arrays."""
@@ -204,7 +251,7 @@ def make_gan_eval_step(generator):
             variables["batch_stats"] = g_stats
         pred = generator.apply(variables, x, train=False)
         dp, dt = denormalize(pred), denormalize(y)
-        per_ssim, _ = metrics.ssim_parts(dp, dt)
+        per_ssim = metrics.ssim_per_image(dp, dt)
         per_psnr = metrics.psnr_per_image(dp, dt)
         per_mse = metrics.mse_per_image(dp, dt)
         return pred, {"ssim": per_ssim, "psnr": per_psnr, "mse": per_mse}
@@ -223,15 +270,31 @@ def gan_eval_params(state: GanTrainState):
 # --------------------------------------------------------------------------
 # Palette diffusion
 # --------------------------------------------------------------------------
-def make_palette_train_step(unet, sched: DiffusionSchedule, learn_var: bool):
-    tx = palette_optimizer()
+def make_palette_train_step(unet, sched: DiffusionSchedule, learn_var: bool,
+                            warmup_steps_per_epoch=None,
+                            external_rand: bool = False):
+    """``warmup_steps_per_epoch`` set => the LinearLR warmup advances once
+    per epoch, replicating Lightning's per-epoch scheduler stepping
+    (models/palette.py:102-108); None => per-step warmup (opt-in).
+
+    ``external_rand=True`` builds a deterministic-replay variant whose
+    ``rng`` argument is instead a dict {"t", "noise", "u"} of precomputed
+    draws (the cross-framework parity harness feeds both frameworks the
+    same stream)."""
+    tx = palette_optimizer(steps_per_epoch=warmup_steps_per_epoch)
 
     def train_step(state: PaletteTrainState, x, y_0, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        rng_t, rng_q, rng_drop = jax.random.split(rng, 3)
         n = y_0.shape[0]
-        t = jax.random.randint(rng_t, (n,), 0, sched.timesteps)
-        y_t, noise, gamma = q_sample(sched, y_0, t, rng_q)
+        if external_rand:
+            rng_drop = jax.random.key(0)
+            t = rng["t"]
+            y_t, noise, gamma = q_sample(sched, y_0, t, None,
+                                         noise=rng["noise"], u=rng["u"])
+        else:
+            rng = jax.random.fold_in(rng, state.step)
+            rng_t, rng_q, rng_drop = jax.random.split(rng, 3)
+            t = jax.random.randint(rng_t, (n,), 0, sched.timesteps)
+            y_t, noise, gamma = q_sample(sched, y_0, t, rng_q)
 
         def loss_fn(params):
             variables = {"params": params}
@@ -287,7 +350,7 @@ def make_palette_sample_step(unet, sched_inf: DiffusionSchedule,
 
         y_pred = ddpm_sample(sched_inf, denoise_fn, x, rng, learn_var)
         dp, dt = denormalize(y_pred), denormalize(y_0)
-        per_ssim, _ = metrics.ssim_parts(dp, dt)
+        per_ssim = metrics.ssim_per_image(dp, dt)
         per_psnr = metrics.psnr_per_image(dp, dt)
         per_mse = metrics.mse_per_image(dp, dt)
         return y_pred, {"ssim": per_ssim, "psnr": per_psnr, "mse": per_mse}

@@ -159,3 +159,79 @@ def test_loss_decreases(tmp_path, synthetic_manifest):
     losses = [float(r["loss"]) for r in rows if r.get("loss")]
     assert len(losses) >= 2
     assert losses[-1] < losses[0]
+
+
+def test_palette_warmup_unit_epoch():
+    """Per-epoch LinearLR warmup (reference parity: Lightning steps the
+    scheduler once per epoch, models/palette.py:102-108): the effective lr
+    is constant within an epoch and steps up between epochs; per-step mode
+    advances every optimizer step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from pai_tpu.train.state import palette_optimizer
+
+    def update_mags(tx, n):
+        params = {"w": jnp.ones(())}
+        grads = {"w": jnp.ones(())}  # constant grads: |update_k| ~ lr(k)
+        opt = tx.init(params)
+        mags = []
+        for _ in range(n):
+            updates, opt = tx.update(grads, opt, params)
+            params = optax.apply_updates(params, updates)
+            mags.append(abs(float(updates["w"])))
+        return mags
+
+    per_epoch = update_mags(
+        palette_optimizer(warmup_iters=10, steps_per_epoch=2), 4)
+    assert per_epoch[0] == pytest.approx(per_epoch[1], rel=1e-4)
+    assert per_epoch[2] == pytest.approx(per_epoch[3], rel=1e-4)
+    assert per_epoch[2] > per_epoch[0]
+    # epoch 0 trains at the 1/3 start factor of lr=1e-4
+    assert per_epoch[0] == pytest.approx(1e-4 / 3.0, rel=1e-3)
+
+    per_step = update_mags(palette_optimizer(warmup_iters=10), 3)
+    assert per_step[0] < per_step[1] < per_step[2]
+
+
+def test_scan_steps_matches_single_steps(tmp_path, synthetic_manifest,
+                                         monkeypatch):
+    """--scan-steps K folds K steps into one lax.scan dispatch; the math is
+    identical (same rng folding by state.step, same batch order), so the
+    final validation metrics must match plain stepping to float precision,
+    with the same total step count."""
+    from pai_tpu.train import steps as steps_lib
+    from pai_tpu.train.loop import fit
+
+    train, val = synthetic_manifest
+    # 12 train images / batch 2 = 6 steps per epoch; 5 epochs = 30 steps.
+    base = fit(_hparams(tmp_path, train, val, name="plain", epochs=5,
+                        batch_size=2, val_epochs=5))
+
+    scans_traced = []
+    orig = steps_lib.make_gan_train_scan
+
+    def spy(*a, **k):
+        fn = orig(*a, **k)
+
+        def wrapped(*args):
+            scans_traced.append(1)  # records the (one-time) jit trace
+            return fn(*args)
+
+        return wrapped
+
+    monkeypatch.setattr(steps_lib, "make_gan_train_scan", spy)
+    scanned = fit(_hparams(tmp_path, train, val, name="scanned", epochs=5,
+                           batch_size=2, val_epochs=5, scan_steps=5))
+    assert scans_traced, "the lax.scan fast path never executed"
+    assert scanned["steps"] == base["steps"] == 30
+    assert scanned["val_ssim"] == pytest.approx(base["val_ssim"], abs=2e-5)
+    assert scanned["val_psnr"] == pytest.approx(base["val_psnr"], rel=1e-4)
+
+
+def test_scan_steps_must_divide_cadence(tmp_path, synthetic_manifest):
+    from pai_tpu.train.loop import fit
+
+    train, val = synthetic_manifest
+    with pytest.raises(ValueError, match="scan-steps"):
+        fit(_hparams(tmp_path, train, val, name="bad", scan_steps=3))
