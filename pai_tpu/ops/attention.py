@@ -29,6 +29,54 @@ _BLOCKWISE_THRESHOLD = 4096
 _Q_BLOCK = 1024
 _KV_BLOCK = 1024
 
+# Sequence-parallel context (--sp): when set, multihead_attention dispatches
+# to exact ring attention with tokens sharded over the mesh's 'sp' axis.
+_SEQ_MESH = None
+_SEQ_AXIS = "sp"
+
+
+def set_sequence_mesh(mesh, axis: str = "sp") -> None:
+    """Install (or clear, with ``mesh=None``) the mesh whose ``axis`` tokens
+    are sharded over. The Trainer sets this when ``--sp > 1``; it takes
+    effect at trace time for every subsequent ``multihead_attention``."""
+    global _SEQ_MESH, _SEQ_AXIS
+    _SEQ_MESH = mesh
+    _SEQ_AXIS = axis
+
+
+class sequence_parallel:
+    """Context manager form of :func:`set_sequence_mesh` (tests)."""
+
+    def __init__(self, mesh, axis: str = "sp"):
+        self.mesh, self.axis = mesh, axis
+
+    def __enter__(self):
+        self._prev = (_SEQ_MESH, _SEQ_AXIS)
+        set_sequence_mesh(self.mesh, self.axis)
+
+    def __exit__(self, *exc):
+        set_sequence_mesh(*self._prev)
+
+
+def _sequence_parallel_attention(q, k, v):
+    """Ring attention over the installed 'sp' mesh axis; batch stays sharded
+    over 'dp' when the mesh has one (each dp group runs its own ring)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pai_tpu.parallel.ring_attention import ring_attention
+
+    mesh, axis = _SEQ_MESH, _SEQ_AXIS
+    b = q.shape[0]
+    dp = ("dp" if "dp" in mesh.axis_names and mesh.shape["dp"] > 1
+          and b % mesh.shape["dp"] == 0 else None)
+    spec = P(dp, None, axis, None)
+    fn = shard_map(
+        functools.partial(ring_attention, axis_name=axis),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False)
+    return fn(q, k, v)
+
 
 def _full_attention(q, k, v):
     """Reference full-softmax attention. q,k,v: (B, H, T, D), f32 softmax."""
@@ -99,6 +147,9 @@ def multihead_attention(q, k, v, use_pallas: bool = True):
     formulation; short sequences use the straightforward full softmax.
     """
     t = q.shape[2]
+    if (_SEQ_MESH is not None and _SEQ_MESH.shape.get(_SEQ_AXIS, 1) > 1
+            and t % _SEQ_MESH.shape[_SEQ_AXIS] == 0):
+        return _sequence_parallel_attention(q, k, v)
     if t < _BLOCKWISE_THRESHOLD or t % _KV_BLOCK or t % _Q_BLOCK:
         return _full_attention(q, k, v)
     if use_pallas:

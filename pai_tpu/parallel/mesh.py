@@ -18,13 +18,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(devices: Optional[Sequence] = None,
-              tp: int = 1) -> Mesh:
+              tp: int = 1, sp: int = 1) -> Mesh:
+    """('dp', 'tp'[, 'sp']) mesh. 'sp' (sequence parallel — ring attention
+    token sharding) is only added when requested so the 2-axis layouts of
+    existing checkpoints/tests are unchanged."""
     if devices is None:
         devices = jax.devices()
     devices = np.asarray(devices)
-    if len(devices) % tp:
-        raise ValueError(f"{len(devices)} devices not divisible by tp={tp}")
-    dp = len(devices) // tp
+    if len(devices) % (tp * sp):
+        raise ValueError(
+            f"{len(devices)} devices not divisible by tp*sp={tp * sp}")
+    dp = len(devices) // (tp * sp)
+    if sp > 1:
+        return Mesh(devices.reshape(dp, tp, sp), ("dp", "tp", "sp"))
     return Mesh(devices.reshape(dp, tp), ("dp", "tp"))
 
 

@@ -67,6 +67,37 @@ def test_grad_psum_equivalence(eight_devices, loss_type):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def test_gan_step_grad_psum_equivalence(eight_devices):
+    """The full D-then-G two-optimizer step (the hardest SPMD surface: two
+    grad reductions plus the batch-concat D pass) must produce identical
+    generator AND discriminator gradients on 1 vs 8 data-parallel devices."""
+    gen = build_generator("pix2pix", channel_mults=MULTS)
+    disc = Discriminator()
+    state = steps_lib.init_gan_state(
+        gen, disc, jax.random.key(0), (BATCH, IMG, IMG, 1), "gan", False)
+    step = jax.jit(steps_lib.make_gan_train_step(
+        gen, disc, "gan", compute_metrics=False, with_grads=True))
+    kx, ky = jax.random.split(jax.random.key(1))
+    x = jax.random.normal(kx, (BATCH, IMG, IMG, 1), jnp.float32)
+    y = jax.random.normal(ky, (BATCH, IMG, IMG, 1), jnp.float32)
+
+    grads = []
+    for devs in (eight_devices[:1], eight_devices):
+        mesh = Mesh(np.asarray(devs).reshape(-1), ("dp",))
+        batch_sh = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        _, m = step(jax.device_put(state, repl),
+                    jax.device_put(x, batch_sh),
+                    jax.device_put(y, batch_sh), jax.random.key(2))
+        grads.append(jax.device_get({"g": m["g_grads"], "d": m["d_grads"]}))
+    # Reduction-order tolerance: leaves whose per-sample contributions
+    # nearly cancel (|g| ~ 1e-6 at init) see f32 ordering noise of the same
+    # magnitude; a genuine dp bug (e.g. missing psum scaling) would be off
+    # by ~8x on the large leaves, far beyond these bounds.
+    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-5)
+
+
 def test_full_train_step_metrics_match(eight_devices):
     """Step-level: loss and quality metrics identical across mesh layouts."""
     gen = build_generator("pix2pix", channel_mults=MULTS)
@@ -115,6 +146,58 @@ def test_ring_attention_matches_full(eight_devices):
     got = sequence_sharded_attention(mesh, q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_multihead_attention_sp_dispatch(eight_devices):
+    """Under the sequence_parallel context, multihead_attention dispatches
+    to ring attention over the 'sp' mesh axis and stays exact."""
+    from pai_tpu.ops import attention as A
+    from pai_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(eight_devices, tp=1, sp=4)  # dp=2 x sp=4
+    kq, kk, kv = jax.random.split(jax.random.key(5), 3)
+    q = jax.random.normal(kq, (2, 2, 256, 16), jnp.float32)
+    k = jax.random.normal(kk, q.shape, jnp.float32)
+    v = jax.random.normal(kv, q.shape, jnp.float32)
+
+    expected = A._full_attention(q, k, v)
+    with A.sequence_parallel(mesh):
+        got = jax.jit(A.multihead_attention)(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_trainer_sp_flag(eight_devices, tmp_path):
+    """--sp 2: end-to-end palette training with sequence-parallel ring
+    attention in the diffusion UNet (dp=4 x sp=2 over 8 devices)."""
+    from pai_tpu.ops import attention as A
+    from pai_tpu.train.loop import fit
+    from pai_tpu.utils.images import write_png
+
+    rng = np.random.default_rng(1)
+    entries = []
+    for i in range(4):
+        img = rng.integers(0, 255, size=(32, 32), dtype=np.uint8)
+        write_png(img, str(tmp_path / f"in_{i}.png"))
+        write_png(255 - img, str(tmp_path / f"gt_{i}.png"))
+        entries.append(f"- input: in_{i}.png\n  ground_truth: gt_{i}.png\n")
+    (tmp_path / "d.yaml").write_text("".join(entries))
+
+    h = {
+        "name": "sprun", "data": str(tmp_path / "d.yaml"),
+        "val_data": None, "epochs": 1, "steps": -1,
+        "batch_size": 4, "val_epochs": 10, "precision": "32", "ema": False,
+        "channel_mults": "1,2", "attention_res": "2", "dropout": 0.0,
+        "loss_type": "mse", "schedule_type": "linear",
+        "learn_variance": False, "model": "palette", "seed": 0,
+        "resume": False, "image_size": 32, "tp": 1, "sp": 2,
+        "log_dir": str(tmp_path / "logs"), "ckpt_dir": str(tmp_path / "ck"),
+    }
+    try:
+        summary = fit(h)
+    finally:
+        A.set_sequence_mesh(None)
+    assert summary["steps"] >= 1
 
 
 def test_trainer_tp_flag(eight_devices, tmp_path):
