@@ -133,6 +133,8 @@ class BatchLoader:
         num_workers: int = 8,
         prefetch: int = 4,
         sharding=None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -142,6 +144,13 @@ class BatchLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.sharding = sharding
+        # Multi-process SPMD (SURVEY §2.5): each host decodes only its own
+        # rows of the global batch and contributes them via
+        # jax.make_array_from_process_local_data.
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1 and sharding is None:
+            raise ValueError("multi-process loading requires a sharding")
         self.epoch = 0
         self._pool: Optional[ThreadPoolExecutor] = None
         self._dev_normalize = None
@@ -196,9 +205,9 @@ class BatchLoader:
             # bottleneck at 256² batch sizes).
             self._dev_normalize = _dev_normalize_fn(normalize)
 
-        def assemble_u8(idx: Sequence[int], n_valid: int):
-            xs = np.zeros((bs, img, img, 1), np.uint8)
-            ys = np.zeros((bs, img, img, 1), np.uint8)
+        def assemble_u8(idx: Sequence[int]):
+            xs = np.zeros((len(idx), img, img, 1), np.uint8)
+            ys = np.zeros((len(idx), img, img, 1), np.uint8)
             native_done = False
             if png_native is not None:
                 # Fast path: one C++ threaded decode of all 2*bs PNGs
@@ -234,7 +243,23 @@ class BatchLoader:
             return xs, ys
 
         def assemble(idx: Sequence[int], n_valid: int) -> Batch:
-            xs, ys = assemble_u8(idx, n_valid)
+            if self.process_count > 1:
+                # decode only this host's rows; the global array is formed
+                # from every host's local contribution
+                from pai_tpu.parallel.distributed import local_batch_rows
+
+                rows = local_batch_rows(bs, self.process_index,
+                                        self.process_count)
+                xs, ys = assemble_u8([idx[i] for i in rows])
+                return Batch(
+                    self._dev_normalize(
+                        jax.make_array_from_process_local_data(
+                            self.sharding, xs)),
+                    self._dev_normalize(
+                        jax.make_array_from_process_local_data(
+                            self.sharding, ys)),
+                    n_valid)
+            xs, ys = assemble_u8(idx)
             if self.sharding is not None:
                 return Batch(
                     self._dev_normalize(jax.device_put(xs, self.sharding)),

@@ -101,7 +101,75 @@ def test_native_codec_matches_pil(tmp_path):
         pn.read_png_gray(p2),
         np.asarray(Image.open(p2).convert("L")))
 
-    batch, failed = pn.decode_batch([p, p2], 32, normalize=True)
+    batch, failed = pn.decode_batch_u8([p, p2], 32)
     assert batch.shape == (2, 32, 32, 1)
+    assert batch.dtype == np.uint8
     assert not failed.any()
-    assert batch.min() >= -1.0 and batch.max() <= 1.0
+
+
+def test_distributed_helpers_env_detection():
+    """SURVEY §2.5: pod init is gated on launcher coordination env."""
+    from pai_tpu.parallel.distributed import local_batch_rows, \
+        should_initialize
+
+    assert not should_initialize(env={})
+    assert should_initialize(env={"PAI_TPU_DISTRIBUTED": "1"})
+    assert should_initialize(env={"JAX_COORDINATOR_ADDRESS": "h:1234"})
+    assert should_initialize(env={"COORDINATOR_ADDRESS": "h:1234"})
+
+    assert list(local_batch_rows(8, 0, 2)) == [0, 1, 2, 3]
+    assert list(local_batch_rows(8, 1, 2)) == [4, 5, 6, 7]
+    assert list(local_batch_rows(8, 3, 4)) == [6, 7]
+    with pytest.raises(ValueError):
+        local_batch_rows(6, 0, 4)
+
+
+def test_multiprocess_loader_decodes_only_local_rows(tmp_path, monkeypatch,
+                                                     eight_devices):
+    """process_count=2: each host decodes only its half of the global batch
+    and contributes it via make_array_from_process_local_data."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from pai_tpu.data import pipeline as pl
+
+    rng = np.random.default_rng(3)
+    imgs = []
+    for i in range(4):
+        img = rng.integers(0, 255, size=(16, 16), dtype=np.uint8)
+        imgs.append(img)
+        write_png(img, str(tmp_path / f"in_{i}.png"))
+        write_png(255 - img, str(tmp_path / f"gt_{i}.png"))
+    (tmp_path / "d.yaml").write_text("".join(
+        f"- input: in_{i}.png\n  ground_truth: gt_{i}.png\n"
+        for i in range(4)))
+
+    mesh = Mesh(np.asarray(eight_devices[:2]).reshape(-1), ("dp",))
+    sharding = NamedSharding(mesh, P("dp"))
+
+    captured = []
+
+    def fake_make_array(shard, local):
+        # single-process stand-in: record the local contribution, then
+        # build the "global" array by stacking the halves
+        captured.append(np.asarray(local))
+        full = np.concatenate([local, local], axis=0)
+        return jax.device_put(full, shard)
+
+    monkeypatch.setattr(jax, "make_array_from_process_local_data",
+                        fake_make_array)
+
+    ds = pl.ImageDataset(str(tmp_path / "d.yaml"), image_size=16)
+    for pi, expect in ((0, [0, 1]), (1, [2, 3])):
+        captured.clear()
+        loader = pl.BatchLoader(ds, 4, shuffle=False, pad_mode="zero",
+                                sharding=sharding, process_index=pi,
+                                process_count=2)
+        batch = next(iter(loader))
+        assert batch.x.shape == (4, 16, 16, 1)
+        assert captured[0].shape == (2, 16, 16, 1)
+        np.testing.assert_array_equal(
+            captured[0][..., 0], np.stack([imgs[j] for j in expect]))
+
+    with pytest.raises(ValueError):
+        pl.BatchLoader(ds, 4, process_count=2)  # sharding required
