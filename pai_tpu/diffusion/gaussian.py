@@ -33,18 +33,25 @@ def _bcast(values, t):
     return values[t].reshape(-1, 1, 1, 1)
 
 
-def q_sample(sched: DiffusionSchedule, y_0, t, rng):
+def q_sample(sched: DiffusionSchedule, y_0, t, rng, noise=None, u=None):
     """Noising forward process (palette.py:214-231).
 
     Returns (y_t, noise, gamma[N]). gamma is sampled uniformly from
-    [gamma_{t-1}, gamma_t]; noise is zeroed where t == 0.
+    [gamma_{t-1}, gamma_t]; noise is zeroed where t == 0. ``noise`` (raw,
+    pre-mask) and ``u`` may be supplied for deterministic replay (the
+    cross-framework parity harness feeds both sides the same stream).
     """
-    rng_noise, rng_gamma = jax.random.split(rng)
-    noise = jax.random.normal(rng_noise, y_0.shape, jnp.float32)
+    rng_noise, rng_gamma = (None, None) if rng is None else \
+        jax.random.split(rng)
+    if noise is None:
+        noise = jax.random.normal(rng_noise, y_0.shape, jnp.float32)
     noise = noise * (t > 0).reshape(-1, 1, 1, 1)
     gamma_prev = _bcast(sched.gammas_prev, t)
     gamma_cur = _bcast(sched.gammas, t)
-    u = jax.random.uniform(rng_gamma, gamma_cur.shape, jnp.float32)
+    if u is None:
+        u = jax.random.uniform(rng_gamma, gamma_cur.shape, jnp.float32)
+    else:
+        u = u.reshape(gamma_cur.shape)
     gamma = (gamma_cur - gamma_prev) * u + gamma_prev
     y_t = jnp.sqrt(gamma) * y_0 + jnp.sqrt(1.0 - gamma) * noise
     return y_t, noise, gamma.reshape(-1)

@@ -26,6 +26,8 @@ def ddpm_sample(
     rng,
     learn_var: bool = False,
     capture_every: Optional[int] = None,
+    y_T=None,
+    step_noise=None,
 ):
     """Run the full reverse chain conditioned on ``x`` [N,H,W,C].
 
@@ -34,20 +36,27 @@ def ddpm_sample(
     ``capture_every`` is set, the stacked intermediate frames
     (palette.py:83-95's 8-frame process capture: y_T plus every
     ``timesteps // 7``-th step).
+
+    ``y_T`` and ``step_noise`` ([T, N, H, W, C], raw pre-mask, ordered
+    t = T-1 .. 0) may be supplied for deterministic replay — the
+    cross-framework parity harness feeds both sides the same stream.
     """
     n = x.shape[0]
-    rng, rng_init = jax.random.split(rng)
-    y_T = jax.random.normal(rng_init, x.shape, jnp.float32)
+    if y_T is None:
+        rng, rng_init = jax.random.split(rng)
+        y_T = jax.random.normal(rng_init, x.shape, jnp.float32)
 
-    def step(carry, i):
+    def step(carry, scanned):
         y_t, key = carry
+        i, provided = scanned if step_noise is not None else (scanned, None)
         key, knoise = jax.random.split(key)
         t = jnp.full((n,), i, jnp.int32)
         gamma = sched.gammas[t]
         model_output = denoise_fn(x, y_t, gamma)
         mean, log_variance = p_mean_variance(
             sched, model_output, y_t, t, learn_var)
-        noise = jax.random.normal(knoise, y_t.shape, jnp.float32)
+        noise = provided if step_noise is not None else \
+            jax.random.normal(knoise, y_t.shape, jnp.float32)
         noise = noise * (t > 1).reshape(-1, 1, 1, 1)
         y_prev = mean + jnp.exp(0.5 * log_variance) * noise
         out = y_prev if capture_every else None
@@ -55,7 +64,8 @@ def ddpm_sample(
 
     ts_py = list(range(sched.timesteps - 1, -1, -1))
     ts = jnp.asarray(ts_py)
-    (y_0, _), frames = jax.lax.scan(step, (y_T, rng), ts)
+    xs = (ts, step_noise) if step_noise is not None else ts
+    (y_0, _), frames = jax.lax.scan(step, (y_T, rng), xs)
 
     if capture_every:
         # Reference captures y_T first, then y_t whenever t % (T//7) == 0

@@ -20,7 +20,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from flax.traverse_util import flatten_dict, unflatten_dict
+from flax.traverse_util import unflatten_dict
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "pix2pix_tiny.npz")
@@ -39,12 +39,15 @@ def fixture():
     return z, deterministic_weights(manifest)
 
 
-def _conv(w):   # torch OIHW -> HWIO
-    return jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
-
-
-def _convt(w):  # torch (in,out,kh,kw) -> HWIO (op flips spatially at apply)
-    return jnp.asarray(np.transpose(w, (2, 3, 0, 1)))
+from parity_port import (  # noqa: E402  (tests dir on sys.path via conftest)
+    conv_w as _conv,
+    convt_w as _convt,
+    port_attention,
+    port_diffusion_unet,
+    port_discriminator,
+    port_pix2pix,
+    port_res18,
+)
 
 
 def test_pix2pix_unet_forward_matches_reference(fixture):
@@ -52,30 +55,7 @@ def test_pix2pix_unet_forward_matches_reference(fixture):
     from pai_tpu.models import build_generator
 
     gen = build_generator("pix2pix", channel_mults=(1, 2))
-    params = unflatten_dict({
-        ("stem", "kernel"): _conv(w["unet.encoders.0.weight"]),
-        ("stem", "bias"): jnp.asarray(w["unet.encoders.0.bias"]),
-        ("enc_1", "Conv_0", "kernel"): _conv(
-            w["unet.encoders.1.encode.1.weight"]),
-        ("enc_1", "Conv_0", "bias"): jnp.asarray(
-            w["unet.encoders.1.encode.1.bias"]),
-        ("dec_0", "ConvTranspose_0", "kernel"): _convt(
-            w["unet.decoders.0.decode.1.weight"]),
-        ("dec_0", "ConvTranspose_0", "bias"): jnp.asarray(
-            w["unet.decoders.0.decode.1.bias"]),
-        ("dec_0", "BatchNorm_0", "BatchNorm_0", "scale"): jnp.asarray(
-            w["unet.decoders.0.decode.2.weight"]),
-        ("dec_0", "BatchNorm_0", "BatchNorm_0", "bias"): jnp.asarray(
-            w["unet.decoders.0.decode.2.bias"]),
-        ("head", "kernel"): _convt(w["unet.decoders.1.weight"]),
-        ("head", "bias"): jnp.asarray(w["unet.decoders.1.bias"]),
-    })
-    batch_stats = unflatten_dict({
-        ("dec_0", "BatchNorm_0", "BatchNorm_0", "mean"): jnp.asarray(
-            w["unet.decoders.0.decode.2.running_mean"]),
-        ("dec_0", "BatchNorm_0", "BatchNorm_0", "var"): jnp.asarray(
-            w["unet.decoders.0.decode.2.running_var"]),
-    })
+    params, batch_stats = port_pix2pix(w)
     x = jnp.asarray(np.transpose(z["x"], (0, 2, 3, 1)))
     out = gen.apply({"params": params, "batch_stats": batch_stats}, x,
                     train=False)
@@ -86,70 +66,6 @@ def test_pix2pix_unet_forward_matches_reference(fixture):
 
 DIFFUSION_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                                  "diffusion_tiny.npz")
-
-# My flax block name -> torch module path (guided_diffusion UNet, mults
-# (1,2), res_blocks=2, attn at ds=2 — structure per unet.py:418-548).
-_GD_BLOCKS = {
-    "in_conv": "input_blocks.0.0",
-    "in_res_0": "input_blocks.1.0",
-    "in_res_1": "input_blocks.2.0",
-    "down_0": "input_blocks.3.0",
-    "in_res_2": "input_blocks.4.0",
-    "in_attn_2": "input_blocks.4.1",
-    "in_res_3": "input_blocks.5.0",
-    "in_attn_3": "input_blocks.5.1",
-    "mid_res_0": "middle_block.0",
-    "mid_attn": "middle_block.1",
-    "mid_res_1": "middle_block.2",
-    "out_res_0": "output_blocks.0.0",
-    "out_attn_0": "output_blocks.0.1",
-    "out_res_1": "output_blocks.1.0",
-    "out_attn_1": "output_blocks.1.1",
-    "out_res_2": "output_blocks.2.0",
-    "out_attn_2": "output_blocks.2.1",
-    "up_1": "output_blocks.2.2",
-    "out_res_3": "output_blocks.3.0",
-    "out_res_4": "output_blocks.4.0",
-    "out_res_5": "output_blocks.5.0",
-    "out_norm": "out.0",
-    "out_conv": "out.2",
-    "cond_embed_0": "cond_embed.0",
-    "cond_embed_1": "cond_embed.2",
-}
-_GD_RES_SUB = {
-    "norm_in": "in_layers.0",
-    "conv_in": "in_layers.2",
-    "emb_proj": "emb_layers.1",
-    "norm_out": "out_layers.0",
-    "conv_out": "out_layers.3",
-    "skip": "skip_connection",
-}
-_GD_ATTN_SUB = {"norm": "norm", "qkv": "qkv", "proj": "proj_out"}
-
-
-def _gd_torch_name(path):
-    """flax flat path tuple -> (torch tensor name, transform)."""
-    block = _GD_BLOCKS[path[0]]
-    leaf = path[-1]
-    if path[0].startswith(("cond_embed",)):
-        torch_mod = block
-    elif path[0] in ("in_conv", "out_conv", "out_norm"):
-        torch_mod = block
-    elif "attn" in path[0]:
-        torch_mod = f"{block}.{_GD_ATTN_SUB[path[1]]}"
-    else:  # ResBlock
-        torch_mod = f"{block}.{_GD_RES_SUB[path[1]]}"
-
-    if leaf == "scale":
-        return f"gd.{torch_mod}.weight", "1d"
-    if leaf == "bias":
-        return f"gd.{torch_mod}.bias", "1d"
-    if leaf == "mean":
-        return f"gd.{torch_mod}.running_mean", "1d"
-    if leaf == "var":
-        return f"gd.{torch_mod}.running_var", "1d"
-    # kernels
-    return f"gd.{torch_mod}.weight", "kernel"
 
 
 def test_diffusion_unet_forward_matches_reference(fixture_gd):
@@ -162,28 +78,9 @@ def test_diffusion_unet_forward_matches_reference(fixture_gd):
     model = DiffusionUNet(in_channels=2, out_channels=1, inner_channel=32,
                           res_blocks=2, channel_mults=(1, 2), attn_res=(2,),
                           num_heads=4)
-    abstract = jax.eval_shape(lambda: model.init(
-        jax.random.key(0), jnp.zeros((1, 16, 16, 1)),
-        jnp.zeros((1, 16, 16, 1)), jnp.ones((1,)), train=False))
-
-    def port(collection):
-        flat = {}
-        for path, leaf in flatten_dict(abstract[collection]).items():
-            name, kind = _gd_torch_name(path)
-            val = w[name]
-            if kind == "kernel":
-                if val.ndim == 4:      # conv OIHW -> HWIO
-                    val = np.transpose(val, (2, 3, 1, 0))
-                elif val.ndim == 3:    # conv1d (out,in,1) -> (in,out)
-                    val = np.transpose(val[:, :, 0], (1, 0))
-                elif val.ndim == 2:    # linear (out,in) -> (in,out)
-                    val = np.transpose(val, (1, 0))
-            assert val.shape == leaf.shape, (path, val.shape, leaf.shape)
-            flat[path] = jnp.asarray(val)
-        return unflatten_dict(flat)
-
-    variables = {"params": port("params"),
-                 "batch_stats": port("batch_stats")}
+    shapes = ((1, 16, 16, 1), (1, 16, 16, 1), (1,))
+    params, stats = port_diffusion_unet(model, w, shapes)
+    variables = {"params": params, "batch_stats": stats}
     x = jnp.asarray(np.transpose(z["x"], (0, 2, 3, 1)))
     y = jnp.asarray(np.transpose(z["y"], (0, 2, 3, 1)))
     gammas = jnp.asarray(z["gammas"])
@@ -239,31 +136,10 @@ def test_res18_unet_forward_matches_reference():
 
     model = ResUnet(out_channels=1, res_type="18", channel_mults=(1, 2),
                     dropout=0.0)
-    params, stats = {}, {}
-    _cv(params, w, ("stem",), "res.in_conv")
-    # blocks: (my module, torch module, has_skip)
-    blocks = [
-        (("enc_0",), "res.encoders.0.encode.0", False),
-        (("enc_1",), "res.encoders.1.encode.0", True),
-        (("dec_0",), "res.decoders.0.decode.0", True),
-        (("dec_final",), "res.decoders.1.decode.0", True),
-    ]
-    for my, tm, has_skip in blocks:
-        _cv(params, w, my + ("Conv_0",), f"{tm}.conv_block.0")
-        _bn(params, w, my + ("BatchNorm_0", "BatchNorm_0"),
-            f"{tm}.conv_block.1", params, stats)
-        _cv(params, w, my + ("Conv_1",), f"{tm}.conv_block.3")
-        _bn(params, w, my + ("BatchNorm_1", "BatchNorm_0"),
-            f"{tm}.conv_block.4", params, stats)
-        if has_skip:
-            _cv(params, w, my + ("Conv_2",), f"{tm}.conv_skip.0")
-            _bn(params, w, my + ("BatchNorm_2", "BatchNorm_0"),
-                f"{tm}.conv_skip.1", params, stats)
-    _cv(params, w, ("head",), "res.out.0")
-
+    params, stats = port_res18(w)
     x = jnp.asarray(np.transpose(z["in0"], (0, 2, 3, 1)))
-    out = model.apply({"params": unflatten_dict(params),
-                       "batch_stats": unflatten_dict(stats)}, x, train=False)
+    out = model.apply({"params": params, "batch_stats": stats}, x,
+                      train=False)
     np.testing.assert_allclose(np.asarray(out),
                                np.transpose(z["out"], (0, 2, 3, 1)),
                                rtol=1e-4, atol=1e-5)
@@ -276,31 +152,10 @@ def test_attention_unet_forward_matches_reference():
     from pai_tpu.models.attention_unet import AttentionUnet
 
     model = AttentionUnet(out_channels=1, channel_mults=(1, 2), dropout=0.0)
-    params, stats = {}, {}
-    _cv(params, w, ("stem",), "att.encoders.0")
-    _cv(params, w, ("enc_1", "Conv_0"), "att.encoders.1.encode.1")
-    params[("dec_0", "ConvTranspose_0", "kernel")] = _convt(
-        w["att.decoders.0.decode.1.weight"])
-    params[("dec_0", "ConvTranspose_0", "bias")] = jnp.asarray(
-        w["att.decoders.0.decode.1.bias"])
-    _bn(params, w, ("dec_0", "BatchNorm_0", "BatchNorm_0"),
-        "att.decoders.0.decode.2", params, stats)
-    g = "att.attention_blocks.0"
-    _cv(params, w, ("gate_0", "input_gate"), f"{g}.input_gate.0")
-    _bn(params, w, ("gate_0", "BatchNorm_0", "BatchNorm_0"),
-        f"{g}.input_gate.1", params, stats)
-    _cv(params, w, ("gate_0", "signal_gate"), f"{g}.signal_gate.0")
-    _bn(params, w, ("gate_0", "BatchNorm_1", "BatchNorm_0"),
-        f"{g}.signal_gate.1", params, stats)
-    _cv(params, w, ("gate_0", "attention"), f"{g}.attention.0")
-    _bn(params, w, ("gate_0", "BatchNorm_2", "BatchNorm_0"),
-        f"{g}.attention.1", params, stats)
-    params[("head", "kernel")] = _convt(w["att.decoders.1.weight"])
-    params[("head", "bias")] = jnp.asarray(w["att.decoders.1.bias"])
-
+    params, stats = port_attention(w)
     x = jnp.asarray(np.transpose(z["in0"], (0, 2, 3, 1)))
-    out = model.apply({"params": unflatten_dict(params),
-                       "batch_stats": unflatten_dict(stats)}, x, train=False)
+    out = model.apply({"params": params, "batch_stats": stats}, x,
+                      train=False)
     np.testing.assert_allclose(np.asarray(out),
                                np.transpose(z["out"], (0, 2, 3, 1)),
                                rtol=1e-4, atol=1e-5)
@@ -393,15 +248,7 @@ def test_discriminator_forward_matches_reference(fixture):
     from pai_tpu.models import Discriminator
 
     disc = Discriminator()
-    flat = {}
-    for i in range(4):
-        flat[(f"DiscriminatorBlock_{i}", "Conv_0", "kernel")] = _conv(
-            w[f"disc.discriminator.{i}.block.0.weight"])
-        flat[(f"DiscriminatorBlock_{i}", "Conv_0", "bias")] = jnp.asarray(
-            w[f"disc.discriminator.{i}.block.0.bias"])
-    flat[("Conv_0", "kernel")] = _conv(w["disc.discriminator.4.weight"])
-    params = unflatten_dict(flat)
-
+    params = port_discriminator(w)
     x = jnp.asarray(np.transpose(z["x"], (0, 2, 3, 1)))
     y = jnp.asarray(np.transpose(z["y"], (0, 2, 3, 1)))
     out = disc.apply({"params": params}, x, y)

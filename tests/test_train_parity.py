@@ -1,0 +1,99 @@
+"""Training-quality parity vs the reference's own training loop.
+
+Fixtures (tests/fixtures/train_parity_*.npz, built by
+tools/train_parity.py) hold the final val SSIM/PSNR and per-step loss curve
+of the REFERENCE UnetWrapper (models/wrapper.py:117-162) trained 200 steps
+on CPU from deterministic-stream weights, plus a CONTROL run — the
+reference re-trained from weights perturbed by 1e-6, whose final-metric
+spread measures the reference's own trajectory sensitivity (the noise floor
+any cross-framework f32 comparison sits on).
+
+The pai_tpu side (tools/pai_train_parity.py) ports the identical initial
+weights, trains the production ``make_gan_train_step`` on the identical
+batches, and runs in a CLEAN subprocess: XLA's CPU reduction strategy
+depends on virtual-device/thread flags, and after 200 optimizer steps that
+reduction-order noise dominates — a fixed environment makes the strict
+budgets reproducible.
+
+Measured (clean env): |dSSIM| = 9.7e-4 (gan), 1.5e-3 (res18), 2.6e-3
+(attention) vs the reference's own control floors 2.2e-3 / 9.3e-3 /
+5.9e-3 — pai_tpu lands CLOSER to the reference than the reference lands to
+itself under a 1e-6 perturbation. Full table in docs/PARITY.md.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+REPO = os.path.join(os.path.dirname(__file__), os.pardir)
+
+
+def _run_clean_subprocess(config, fixture_path):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "pai_train_parity.py"),
+         config, fixture_path],
+        env=env, cwd=REPO, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.parametrize("config,fname", [
+    ("gan", "train_parity_gan.npz"),
+    ("res18", "train_parity_res18_mse.npz"),
+    ("attention", "train_parity_attention_ssim_psnr.npz"),
+])
+def test_training_quality_parity(config, fname):
+    path = os.path.join(FIXDIR, fname)
+    if not os.path.exists(path):
+        pytest.skip(f"{fname} missing (tools/train_parity.py)")
+    z = np.load(path)
+    got = _run_clean_subprocess(config, path)
+
+    ref_losses = np.asarray(z["losses"])
+    # semantic identity at step 0: identical weights + batch => identical
+    # loss up to f32 backend conv reduction order
+    assert got["losses0"] == pytest.approx(float(ref_losses[0]), rel=2e-4)
+
+    ref_ssim, ref_psnr = float(z["val_ssim"]), float(z["val_psnr"])
+    ctl_dssim = abs(float(z["control_ssim"]) - ref_ssim)
+    ctl_dpsnr = abs(float(z["control_psnr"]) - ref_psnr)
+    dssim = abs(got["ssim"] - ref_ssim)
+    dpsnr = abs(got["psnr"] - ref_psnr)
+
+    # within the 1e-3 budget, or within the reference's own self-noise floor
+    assert dssim <= max(1e-3, ctl_dssim), (dssim, ctl_dssim)
+    assert dpsnr <= max(5e-2, 2.0 * ctl_dpsnr), (dpsnr, ctl_dpsnr)
+    # absolute backstop independent of the control
+    assert dssim <= 5e-3
+
+
+def test_palette_training_quality_parity():
+    """Palette head-to-head with the IDENTICAL randomness stream the
+    reference drew (t / q-noise / gamma-u per train step; y_T + per-step
+    noise in the 100-step sampler), per-epoch LinearLR warmup on both
+    sides. The whole 100-step training-loss curve must agree to float
+    precision (measured max rel 1.5e-5 — training math is exact); the
+    final sampled SSIM delta (measured 5.4e-3) is the 100-step reverse
+    chain amplifying that float-level param drift and carries a documented
+    1e-2 budget (docs/PARITY.md)."""
+    path = os.path.join(FIXDIR, "train_parity_palette.npz")
+    if not os.path.exists(path):
+        pytest.skip("palette fixture missing (tools/train_parity.py)")
+    z = np.load(path)
+    got = _run_clean_subprocess("palette", path)
+
+    ref_losses = np.asarray(z["losses"])
+    ours = np.asarray(got["losses"])
+    rel = np.abs(ours - ref_losses) / (np.abs(ref_losses) + 1e-8)
+    assert rel.max() <= 1e-3, rel.max()
+
+    dssim = abs(got["ssim"] - float(z["val_ssim"]))
+    dpsnr = abs(got["psnr"] - float(z["val_psnr"]))
+    assert dssim <= 1e-2, dssim
+    assert dpsnr <= 2e-1, dpsnr

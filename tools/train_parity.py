@@ -1,0 +1,418 @@
+"""Training-quality parity fixtures: run the REFERENCE's own training loop.
+
+For each BASELINE config this drives the reference's ``UnetWrapper``
+(``/root/reference/models/wrapper.py:117-162``) — its actual
+``training_step`` with manual optimization, two Adam chains, the D-then-G
+order, the double generator forward, and per-epoch BN running-stat updates —
+in torch on CPU with Lightning faithfully stubbed (toggle_optimizer /
+manual_backward semantics preserved). Weights come from the same
+deterministic numpy stream the forward-parity fixtures use, so the pai_tpu
+side (tests/test_train_parity.py) starts from IDENTICAL parameters, consumes
+IDENTICAL batches in the same order, and must land within the 1e-3
+SSIM/PSNR parity budget after the same number of optimizer steps.
+
+torchmetrics is not installable in this environment; the stub implements
+torchmetrics-0.11 functional semantics (11x11 gaussian sigma 1.5, reflect
+pad, interior-crop scalar — models/utils.py:38-47) directly in torch. It is
+an independent second implementation of the same published algorithm as
+``pai_tpu/utils/metrics.py`` (numpy-free torch vs jnp), so a shared
+misreading would require the same mistake twice in different code.
+
+Run:  python tools/train_parity.py            (writes tests/fixtures/train_parity_*.npz)
+"""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from make_parity_fixture import deterministic_weights, _install_stubs  # noqa: E402
+
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                      "tests", "fixtures")
+
+IMG = 32
+BATCH = 8
+N_TRAIN = 32   # 4 batches / epoch
+N_VAL = 8
+STEPS = 200    # 50 epochs over the fixed batch order
+DATA_SEED = 31337
+
+
+# palette config: smaller (the 128-channel guided_diffusion UNet plus two
+# 100-step samplings dominate the harness runtime)
+PAL_IMG = 16
+PAL_BATCH = 4
+PAL_N_TRAIN = 16   # 4 batches / epoch
+PAL_N_VAL = 4
+PAL_STEPS = 100    # 25 epochs
+
+
+def make_data(img=IMG, n_train=N_TRAIN, n_val=N_VAL):
+    """Synthetic inversion task, NCHW in [-1, 1]: y = -x plus a fixed
+    low-amplitude structure so SSIM has texture to measure."""
+    rng = np.random.default_rng(DATA_SEED)
+    xs = rng.uniform(-1, 1, (n_train + n_val, 1, img, img)).astype(np.float32)
+    # smooth component: cumulative sums make spatially correlated fields
+    smooth = np.cumsum(np.cumsum(
+        rng.normal(0, 0.02, xs.shape), axis=2), axis=3).astype(np.float32)
+    xs = np.clip(0.7 * xs + smooth, -1, 1).astype(np.float32)
+    ys = np.clip(-xs, -1, 1).astype(np.float32)
+    return (xs[:n_train], ys[:n_train]), (xs[n_train:], ys[n_train:])
+
+
+def _torchmetrics_real():
+    """torchmetrics-0.11 functional semantics implemented in torch."""
+    import torch
+    import torch.nn.functional as F
+
+    def ssim(pred, target, data_range=1.0):
+        k, sigma = 11, 1.5
+        pad = (k - 1) // 2
+        dist = torch.arange((1 - k) / 2, (1 + k) / 2, 1.0)
+        g = torch.exp(-((dist / sigma) ** 2) / 2.0)
+        g = (g / g.sum()).to(pred.dtype)
+        kern = torch.outer(g, g)[None, None]
+        c = pred.shape[1]
+        kern = kern.expand(c, 1, k, k)
+        p = F.pad(pred, (pad,) * 4, mode="reflect")
+        t = F.pad(target, (pad,) * 4, mode="reflect")
+
+        def blur(x):
+            return F.conv2d(x, kern, groups=c)
+
+        mu_p, mu_t = blur(p), blur(t)
+        e_pp, e_tt, e_pt = blur(p * p), blur(t * t), blur(p * t)
+        c1 = (0.01 * data_range) ** 2
+        c2 = (0.03 * data_range) ** 2
+        sp = e_pp - mu_p * mu_p
+        st = e_tt - mu_t * mu_t
+        spt = e_pt - mu_p * mu_t
+        full = ((2 * mu_p * mu_t + c1) * (2 * spt + c2)) / (
+            (mu_p ** 2 + mu_t ** 2 + c1) * (sp + st + c2))
+        interior = full[:, :, pad:-pad, pad:-pad]
+        return interior.reshape(interior.shape[0], -1).mean(-1).mean()
+
+    def psnr(pred, target, data_range=1.0):
+        mse = torch.mean((pred - target) ** 2)
+        return 10.0 * torch.log10(data_range ** 2 / mse)
+
+    def mse(pred, target, squared=True):
+        v = torch.mean((pred - target) ** 2)
+        return v if squared else torch.sqrt(v)
+
+    tm = types.ModuleType("torchmetrics.functional")
+    tm.structural_similarity_index_measure = ssim
+    tm.peak_signal_noise_ratio = psnr
+    tm.mean_squared_error = mse
+    sys.modules["torchmetrics.functional"] = tm
+    return tm
+
+
+def _lightning_manual_stub():
+    """LightningModule stub that preserves the manual-optimization protocol
+    UnetWrapper relies on: optimizers(), toggle_optimizer (requires_grad
+    masking of the other optimizer's params), manual_backward."""
+    import torch.nn as nn
+
+    class FakeLM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.automatic_optimization = True
+
+        @property
+        def device(self):
+            import torch
+
+            return torch.device("cpu")
+
+        def save_hyperparameters(self, *a, **k):
+            pass
+
+        def log(self, name, value, *a, **k):
+            if not hasattr(self, "_logged"):
+                self._logged = {}
+            self._logged[name] = float(value)
+
+        def optimizers(self):
+            return self._opts if len(self._opts) > 1 else self._opts[0]
+
+        def toggle_optimizer(self, opt):
+            ids = {id(p) for g in opt.param_groups for p in g["params"]}
+            self._rg_backup = {}
+            for p in self.parameters():
+                self._rg_backup[id(p)] = p.requires_grad
+                if id(p) not in ids:
+                    p.requires_grad_(False)
+
+        def untoggle_optimizer(self, opt):
+            for p in self.parameters():
+                p.requires_grad_(self._rg_backup.get(id(p), True))
+
+        def manual_backward(self, loss, *a, **k):
+            loss.backward()
+
+    sys.modules["pytorch_lightning"].LightningModule = FakeLM
+
+
+def _load_deterministic(modules):
+    """Two-phase: build the COMBINED manifest over all (prefix, module)
+    pairs, draw the stream once, then load — the consumer regenerates from
+    the combined manifest, so per-module streams would not line up."""
+    import torch
+
+    manifest = []
+    for prefix, module in modules:
+        for name, tensor in module.state_dict().items():
+            if name.endswith("num_batches_tracked"):
+                continue
+            manifest.append((f"{prefix}.{name}", list(tensor.shape)))
+    values = deterministic_weights(manifest)
+    for prefix, module in modules:
+        sd = module.state_dict()
+        for name in sd:
+            key = f"{prefix}.{name}"
+            if key in values:
+                sd[name] = torch.from_numpy(values[key])
+        module.load_state_dict(sd)
+    return manifest
+
+
+def _build_wrapper(model_name, loss_type):
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from models.wrapper import UnetWrapper
+
+    torch.manual_seed(0)
+    if model_name == "pix2pix":
+        from models.pix2pix import Unet
+
+        unet = Unet(1, 1, channel_mults=(1, 2), dropout=0.0)
+    elif model_name == "res18_unet":
+        from models.res_unet import ResUnet
+
+        unet = ResUnet(1, 1, "18", channel_mults=(1, 2), dropout=0.0)
+    elif model_name == "attention_unet":
+        from models.attention_unet import AttentionUnet
+
+        unet = AttentionUnet(1, 1, channel_mults=(1, 2), dropout=0.0)
+    else:
+        raise ValueError(model_name)
+
+    wrapper = UnetWrapper(unet, loss_type=loss_type)  # applies init_weights
+    if wrapper.discriminator is not None:
+        # SURVEY quirk 3: Discriminator() hardcodes in_channels=3
+        # (wrapper.py:34, 225) and crashes outright on the 1-channel PAI
+        # data. Apply the same fix the rebuild ships: channel-correct D.
+        from models.wrapper import Discriminator
+
+        wrapper.discriminator = Discriminator(in_channels=1)
+    # init_weights results are now overwritten from the deterministic
+    # stream on BOTH sides:
+    modules = [("unet", wrapper.unet)]
+    if wrapper.discriminator is not None:
+        modules.append(("disc", wrapper.discriminator))
+    manifest = _load_deterministic(modules)
+    return wrapper, manifest
+
+
+def _train_and_eval(wrapper, perturb=0.0):
+    import torch
+
+    if perturb:
+        g = torch.Generator().manual_seed(4242)
+        with torch.no_grad():
+            for p in wrapper.parameters():
+                p.add_(perturb * torch.randn(p.shape, generator=g))
+
+    opts = wrapper.configure_optimizers()
+    wrapper._opts = list(opts) if isinstance(opts, (list, tuple)) else [opts]
+
+    (tx, ty), (vx, vy) = make_data()
+    losses = []
+    wrapper.train()
+    n_batches = N_TRAIN // BATCH
+    for step in range(STEPS):
+        b = step % n_batches
+        x = torch.from_numpy(tx[b * BATCH:(b + 1) * BATCH])
+        y = torch.from_numpy(ty[b * BATCH:(b + 1) * BATCH])
+        wrapper.training_step((x, y), step)
+        # the logged training loss — no extra forward (a no_grad forward in
+        # train mode would still advance BN running stats and break parity)
+        losses.append(wrapper._logged["loss"])
+
+    from models.utils import denormalize, ssim, psnr
+
+    wrapper.eval()
+    with torch.no_grad():
+        pred = wrapper.unet(torch.from_numpy(vx))
+        dp = denormalize(pred)
+        dt = denormalize(torch.from_numpy(vy))
+        val_ssim = float(ssim(dp, dt))
+        val_psnr = float(psnr(dp, dt))
+    return losses, val_ssim, val_psnr
+
+
+def run_config(model_name, loss_type, fname):
+    wrapper, manifest = _build_wrapper(model_name, loss_type)
+    losses, val_ssim, val_psnr = _train_and_eval(wrapper)
+
+    # Control: the reference vs ITSELF from weights perturbed by 1e-6
+    # noise. The (control - reference) spread measures pure trajectory
+    # sensitivity over STEPS optimizer steps — the noise floor any
+    # cross-framework f32 comparison sits on.
+    wrapper_c, _ = _build_wrapper(model_name, loss_type)
+    _, ctl_ssim, ctl_psnr = _train_and_eval(wrapper_c, perturb=1e-6)
+
+    path = os.path.join(FIXDIR, fname)
+    np.savez_compressed(
+        path, manifest=json.dumps(manifest),
+        losses=np.asarray(losses, np.float32),
+        val_ssim=np.float32(val_ssim), val_psnr=np.float32(val_psnr),
+        control_ssim=np.float32(ctl_ssim), control_psnr=np.float32(ctl_psnr),
+        steps=np.int32(STEPS))
+    print(f"wrote {path}: {model_name}/{loss_type} {STEPS} steps "
+          f"val_ssim={val_ssim:.6f} val_psnr={val_psnr:.4f} "
+          f"(control dssim {abs(ctl_ssim - val_ssim):.2e} "
+          f"dpsnr {abs(ctl_psnr - val_psnr):.2e}) "
+          f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+
+
+class _RandTap:
+    """Record-or-replay tap over torch's global sampling calls. Recording
+    captures every draw the reference makes (t / q-noise / gamma-u during
+    training; y_T + per-step noise during sampling) so the pai_tpu side —
+    and the perturbed control run — consume the IDENTICAL stream."""
+
+    def __init__(self, replay=None):
+        import torch
+
+        self.torch = torch
+        self.recorded = {"randint": [], "randn_like": [], "rand_like": []}
+        self.replay = replay
+        self._orig = {}
+
+    def __enter__(self):
+        t = self.torch
+
+        def wrap(name, orig):
+            def fn(*a, **k):
+                if self.replay is not None:
+                    return t.from_numpy(self.replay[name].pop(0)).clone()
+                v = orig(*a, **k)
+                self.recorded[name].append(v.numpy().copy())
+                return v
+            return fn
+
+        for name in ("randint", "randn_like", "rand_like"):
+            self._orig[name] = getattr(t, name)
+            setattr(t, name, wrap(name, self._orig[name]))
+        return self
+
+    def __exit__(self, *exc):
+        for name, orig in self._orig.items():
+            setattr(self.torch, name, orig)
+
+
+def _palette_train_and_eval(palette, tap_ctx):
+    """Manual Lightning automatic-optimization loop + per-epoch scheduler
+    stepping (models/palette.py:102-174) and full-sampling validation."""
+    import torch
+
+    [opt], [scheduler] = palette.configure_optimizers()
+    (tx, ty), (vx, vy) = make_data(PAL_IMG, PAL_N_TRAIN, PAL_N_VAL)
+    n_batches = PAL_N_TRAIN // PAL_BATCH
+    losses = []
+    palette.train()
+    with tap_ctx:
+        for step in range(PAL_STEPS):
+            b = step % n_batches
+            x = torch.from_numpy(tx[b * PAL_BATCH:(b + 1) * PAL_BATCH])
+            y = torch.from_numpy(ty[b * PAL_BATCH:(b + 1) * PAL_BATCH])
+            loss = palette.training_step((x, y))
+            opt.zero_grad(set_to_none=True)
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+            if (step + 1) % n_batches == 0:
+                scheduler.step()  # Lightning steps LinearLR per EPOCH
+
+        from models.utils import denormalize, ssim, psnr
+
+        palette.eval()
+        with torch.no_grad():
+            y_pred = palette.forward(torch.from_numpy(vx))
+        dp = denormalize(y_pred)
+        dt = denormalize(torch.from_numpy(vy))
+        return losses, float(ssim(dp, dt)), float(psnr(dp, dt))
+
+
+def run_palette(fname):
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from models.palette import Palette
+
+    def build():
+        torch.manual_seed(0)
+        palette = Palette(in_channels=1, out_channels=1,
+                          channel_mults=(1, 2), attention_res=(2,),
+                          dropout=0.0, schedule_type="linear",
+                          learn_var=False)
+        manifest = _load_deterministic([("unet", palette.unet)])
+        return palette, manifest
+
+    palette, manifest = build()
+    tap = _RandTap()
+    losses, val_ssim, val_psnr = _palette_train_and_eval(palette, tap)
+
+    # control: identical randomness (replayed), weights perturbed by 1e-6
+    palette_c, _ = build()
+    g = torch.Generator().manual_seed(4242)
+    with torch.no_grad():
+        for p in palette_c.parameters():
+            p.add_(1e-6 * torch.randn(p.shape, generator=g))
+    replay = {k: [a.copy() for a in v] for k, v in tap.recorded.items()}
+    _, ctl_ssim, ctl_psnr = _palette_train_and_eval(
+        palette_c, _RandTap(replay=replay))
+
+    r = tap.recorded
+    ts = np.stack(r["randint"][:PAL_STEPS])                 # (S, B)
+    q_noise = np.stack(r["randn_like"][:PAL_STEPS])         # (S, B,1,H,W)
+    us = np.stack(r["rand_like"][:PAL_STEPS])               # (S, B,1,1,1)
+    y_T = r["randn_like"][PAL_STEPS]                        # (B,1,H,W)
+    samp_noise = np.stack(r["randn_like"][PAL_STEPS + 1:])  # (100, B,1,H,W)
+
+    path = os.path.join(FIXDIR, fname)
+    np.savez_compressed(
+        path, manifest=json.dumps(manifest),
+        losses=np.asarray(losses, np.float32),
+        val_ssim=np.float32(val_ssim), val_psnr=np.float32(val_psnr),
+        control_ssim=np.float32(ctl_ssim), control_psnr=np.float32(ctl_psnr),
+        steps=np.int32(PAL_STEPS), ts=ts, q_noise=q_noise, us=us,
+        y_T=y_T, samp_noise=samp_noise)
+    print(f"wrote {path}: palette {PAL_STEPS} steps "
+          f"val_ssim={val_ssim:.6f} val_psnr={val_psnr:.4f} "
+          f"(control dssim {abs(ctl_ssim - val_ssim):.2e} "
+          f"dpsnr {abs(ctl_psnr - val_psnr):.2e}) "
+          f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+
+
+def main():
+    _install_stubs()
+    _torchmetrics_real()
+    _lightning_manual_stub()
+    os.makedirs(FIXDIR, exist_ok=True)
+    run_config("pix2pix", "gan", "train_parity_gan.npz")
+    run_config("res18_unet", "mse", "train_parity_res18_mse.npz")
+    run_config("attention_unet", "ssim+psnr",
+               "train_parity_attention_ssim_psnr.npz")
+    run_palette("train_parity_palette.npz")
+
+
+if __name__ == "__main__":
+    main()
