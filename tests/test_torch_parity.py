@@ -237,3 +237,35 @@ def test_attention_matches_torch_sdpa():
     ).numpy()
     got = _np(_full_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_ssim_psnr_cross_framework_witness():
+    """torchmetrics is not installable in this environment, so the
+    torchmetrics-0.11 SSIM/PSNR algorithm is implemented twice from the
+    published semantics — once in torch (tools/train_parity.py, used to run
+    the reference) and once in jnp (pai_tpu/utils/metrics.py). A shared
+    misreading would require the identical mistake in two independent
+    codebases in different frameworks; this test pins them to each other."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "tools"))
+    from train_parity import _torchmetrics_real
+
+    tm = _torchmetrics_real()
+    from pai_tpu.utils import metrics as M
+
+    rng = np.random.default_rng(11)
+    p = rng.uniform(0, 1, (3, 64, 64, 1)).astype(np.float32)
+    t = rng.uniform(0, 1, (3, 64, 64, 1)).astype(np.float32)
+    pt = torch.from_numpy(np.transpose(p, (0, 3, 1, 2)))
+    tt = torch.from_numpy(np.transpose(t, (0, 3, 1, 2)))
+
+    ssim_torch = float(tm.structural_similarity_index_measure(pt, tt))
+    psnr_torch = float(tm.peak_signal_noise_ratio(pt, tt))
+    ssim_jax = float(M.ssim(jnp.asarray(p), jnp.asarray(t)))
+    psnr_jax = float(M.psnr(jnp.asarray(p), jnp.asarray(t)))
+
+    assert ssim_jax == pytest.approx(ssim_torch, abs=1e-6)
+    assert psnr_jax == pytest.approx(psnr_torch, abs=1e-4)
