@@ -32,11 +32,14 @@ A100_REFERENCE_IMG_S = 550.0
 NORTH_STAR_TARGET = 2.0 * A100_REFERENCE_IMG_S
 
 IMAGE = 256
-WARMUP_STEPS = 3
 TIMED_STEPS = 20
 
 
 def bench_pix2pix_train(batch, dtype):
+    """Production loop configuration ``--scan-steps 10``: each 10-step
+    logging block is one 9-step lax.scan dispatch plus one metrics step
+    (identical math to single-stepping, tested in
+    tests/test_train_smoke.py::test_scan_steps_matches_single_steps)."""
     from pai_tpu.models import build_generator, Discriminator
     from pai_tpu.train import steps as steps_lib
 
@@ -49,21 +52,22 @@ def bench_pix2pix_train(batch, dtype):
     kx, ky = jax.random.split(jax.random.key(1))
     x = jax.random.normal(kx, (batch, IMAGE, IMAGE, 1), jnp.float32)
     y = jax.random.normal(ky, (batch, IMAGE, IMAGE, 1), jnp.float32)
+    xs = jnp.stack([x] * 9)
+    ys = jnp.stack([y] * 9)
 
-    lean = jax.jit(steps_lib.make_gan_train_step(
-        gen, disc, "gan", compute_metrics=False), donate_argnums=(0,))
+    scan9 = jax.jit(steps_lib.make_gan_train_scan(gen, disc, "gan"),
+                    donate_argnums=(0,))
     full = jax.jit(steps_lib.make_gan_train_step(
         gen, disc, "gan", compute_metrics=True), donate_argnums=(0,))
 
-    for _ in range(WARMUP_STEPS):
-        state, metrics = lean(state, x, y, rng)
+    state, metrics = scan9(state, xs, ys, rng)
     state, metrics = full(state, x, y, rng)
     float(metrics["loss"])  # host readback: forces real device completion
 
     t0 = time.perf_counter()
-    for i in range(TIMED_STEPS):
-        step_fn = full if (i + 1) % 10 == 0 else lean
-        state, metrics = step_fn(state, x, y, rng)
+    for _ in range(TIMED_STEPS // 10):
+        state, _ = scan9(state, xs, ys, rng)
+        state, metrics = full(state, x, y, rng)
     float(metrics["loss"])
     dt = time.perf_counter() - t0
     return batch * TIMED_STEPS / dt
@@ -102,7 +106,8 @@ def _bench_generic_train(model_name, loss_type, batch, dtype,
     from pai_tpu.models import build_generator, Discriminator
     from pai_tpu.train import steps as steps_lib
 
-    gen = build_generator(model_name, channel_mults=mults, dtype=dtype)
+    gen = build_generator(model_name, channel_mults=mults, dtype=dtype,
+                          image_size=IMAGE)
     disc = Discriminator(dtype=dtype) if loss_type == "gan" else None
     state = steps_lib.init_gan_state(
         gen, disc, jax.random.key(0), (batch, IMAGE, IMAGE, 1), loss_type,
@@ -161,6 +166,23 @@ def _bench_palette(batch, dtype, mults=(1, 1, 2, 2, 4, 4),
     return train_ips, sample_ips
 
 
+def _bench_trans_unet(dtype, steps=6):
+    """TransUNet (BASELINE config 4) at its canonical mults (1,2,2,4,4) —
+    the 1.03B-parameter model whose param-count golden the tests pin. Its
+    f32 Adam state alone is ~12 GB, so the batch backs off on OOM; the
+    successful batch is reported alongside the throughput."""
+    for batch in (8, 4, 2):
+        try:
+            ips = _bench_generic_train("trans_unet", "mse", batch, dtype,
+                                       mults=(1, 2, 2, 4, 4), steps=steps)
+            return ips, batch
+        except Exception as e:  # XlaRuntimeError RESOURCE_EXHAUSTED etc.
+            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(
+                    e).lower():
+                raise
+    return 0.0, 0
+
+
 def main():
     import os
 
@@ -177,13 +199,17 @@ def main():
         "baseline_note": "vs_baseline = value / (2 x ~550 img/s A100 est)",
         "backend": jax.default_backend(),
     }
-    if os.environ.get("BENCH_FULL"):
-        # The remaining BASELINE.json configs (each adds a long compile).
+    if not os.environ.get("BENCH_FAST"):
+        # All five BASELINE.json configs in the one captured line
+        # (each adds a long compile; BENCH_FAST=1 skips to the headline).
         result["res18_mse_train_images_per_sec"] = round(
             _bench_generic_train("res18_unet", "mse", 64, jnp.bfloat16), 2)
         result["attention_ssim_psnr_train_images_per_sec"] = round(
             _bench_generic_train("attention_unet", "ssim+psnr", 64,
                                  jnp.bfloat16), 2)
+        trans_ips, trans_batch = _bench_trans_unet(jnp.bfloat16)
+        result["trans_unet_1b_mse_train_images_per_sec"] = round(trans_ips, 2)
+        result["trans_unet_batch"] = trans_batch
         pal_train, pal_sample = _bench_palette(8, jnp.bfloat16)
         result["palette_train_images_per_sec"] = round(pal_train, 2)
         result["palette_sample100_images_per_sec"] = round(pal_sample, 3)
