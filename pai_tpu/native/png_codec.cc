@@ -395,37 +395,4 @@ int pai_decode_batch_u8(const char** paths, int n, int size, uint8_t* out,
   return failures.load();
 }
 
-// Threaded batch pipeline: decode n PNGs, resize to (size,size), scale to
-// [0,1] float32 and optionally normalize to [-1,1], writing into out
-// (n*size*size floats). Returns 0 on full success; k>0 = number of failed
-// items (their slots are left zeroed, failed[i] set to 1 for fallback).
-int pai_decode_batch(const char** paths, int n, int size, int normalize,
-                     float* out, uint8_t* failed, int num_threads) {
-  std::atomic<int> next(0), failures(0);
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) return;
-      PngImage img;
-      failed[i] = 0;
-      if (!decode_png(paths[i], &img)) {
-        failed[i] = 1;
-        failures.fetch_add(1);
-        continue;
-      }
-      std::vector<uint8_t> gray;
-      to_gray(img, gray);
-      float* dst = out + size_t(i) * size * size;
-      resize_aa_f32(gray.data(), img.height, img.width, dst, size, size);
-      if (normalize)
-        for (int j = 0; j < size * size; ++j) dst[j] = (dst[j] - 0.5f) / 0.5f;
-    }
-  };
-  int nt = num_threads > 0 ? num_threads : 4;
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
-  for (auto& t : threads) t.join();
-  return failures.load();
-}
-
 }  // extern "C"

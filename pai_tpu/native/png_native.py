@@ -47,11 +47,6 @@ _lib.pai_resize_aa.restype = ctypes.c_int
 _lib.pai_resize_aa.argtypes = [
     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
     ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
-_lib.pai_decode_batch.restype = ctypes.c_int
-_lib.pai_decode_batch.argtypes = [
-    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-    ctypes.c_int, ctypes.POINTER(ctypes.c_float),
-    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
 _lib.pai_decode_batch_u8.restype = ctypes.c_int
 _lib.pai_decode_batch_u8.argtypes = [
     ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
@@ -101,10 +96,7 @@ def resize_bilinear_antialias(img: np.ndarray, dh: int, dw: int) -> np.ndarray:
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dh, dw)
     if rc != 0:
         raise ValueError("native resize failed")
-    # Callers expect uint8-equivalent scale; pipeline divides by 255 itself,
-    # so return uint8-range float? No: return [0,1] floats times 255 is
-    # lossy. Return the float image scaled back to [0,255] for the generic
-    # caller which normalises afterwards.
+    # The kernel works in [0,1]; callers consume the [0,255] float scale.
     return dst * 255.0
 
 
@@ -118,23 +110,5 @@ def decode_batch_u8(paths, size: int, num_threads: int = 8):
     _lib.pai_decode_batch_u8(
         arr, n, size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        failed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
-    return out[..., None], failed.astype(bool)
-
-
-def decode_batch(paths, size: int, normalize: bool = True,
-                 num_threads: int = 8):
-    """Decode+resize+normalize a list of PNGs into [N, size, size, 1] f32.
-
-    Returns (batch, failed_mask); failed items are zero-filled and flagged
-    so the caller can retry via PIL.
-    """
-    n = len(paths)
-    out = np.zeros((n, size, size), np.float32)
-    failed = np.zeros((n,), np.uint8)
-    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    _lib.pai_decode_batch(
-        arr, n, size, int(normalize),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         failed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
     return out[..., None], failed.astype(bool)
