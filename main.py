@@ -135,6 +135,11 @@ if __name__ == "__main__":
                         help="Sequence-parallel degree: diffusion-UNet "
                              "attention tokens sharded over the mesh 'sp' "
                              "axis (exact ring attention).")
+    parser.add_argument("--fsdp", default=False,
+                        action=argparse.BooleanOptionalAction,
+                        help="Shard parameters and optimizer state over the "
+                             "mesh 'dp' axis (ZeRO-3 via GSPMD) — fits the "
+                             "1B-param TransUNet's Adam state across chips.")
     parser.add_argument("--warmup-unit", default="epoch",
                         choices=("epoch", "step"),
                         help="Palette LinearLR warmup unit: 'epoch' matches "

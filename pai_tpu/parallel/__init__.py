@@ -15,5 +15,7 @@ from pai_tpu.parallel.mesh import (
 )
 from pai_tpu.parallel.partitioning import (
     tp_spec_for_leaf,
+    fsdp_spec_for_leaf,
     shard_tree_for_tp,
+    shard_state,
 )

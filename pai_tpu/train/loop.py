@@ -34,7 +34,7 @@ from pai_tpu.models import Discriminator, build_generator
 from pai_tpu.parallel import (
     batch_sharding,
     make_mesh,
-    shard_tree_for_tp,
+    shard_state,
 )
 from pai_tpu.train import steps as steps_lib
 from pai_tpu.utils.checkpoint import CheckpointManager
@@ -76,6 +76,7 @@ class Trainer:
         devices = jax.devices()
         self.tp = int(hparams.get("tp", 1) or 1)
         self.sp = int(hparams.get("sp", 1) or 1)
+        self.fsdp = bool(hparams.get("fsdp", False))
         if len(devices) % (self.tp * self.sp):
             raise ValueError(
                 f"--tp {self.tp} x --sp {self.sp} does not divide "
@@ -167,7 +168,7 @@ class Trainer:
             state = steps_lib.init_gan_state(
                 self.generator, self.discriminator, rng, batch_shape,
                 self.hparams["loss_type"], self.hparams["ema"])
-        return shard_tree_for_tp(state, self.mesh, self.tp)
+        return shard_state(state, self.mesh, self.tp, self.fsdp)
 
     # ------------------------------------------------------------------
     def _state_dict(self, state):
@@ -264,8 +265,9 @@ class Trainer:
             try:
                 restored, meta = self.ckpt.restore(
                     "last", self._state_dict(state))
-                state = shard_tree_for_tp(
-                    self._restore_state(state, restored), self.mesh, self.tp)
+                state = shard_state(
+                    self._restore_state(state, restored), self.mesh,
+                    self.tp, self.fsdp)
                 start_epoch = meta["epoch"] + 1
                 print(f"[pai_tpu] resumed from epoch {meta['epoch']} "
                       f"(step {meta['step']})")
