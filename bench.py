@@ -14,7 +14,8 @@ the reference. Baseline for vs_baseline is therefore 2 x 550 = 1100
 img/s/chip: vs_baseline >= 1.0 means the north star is met.
 
 Measured exactly as the production loop runs: bfloat16 compute policy
-(--precision bf16), batch 128, 9 lean steps + 1 metrics step per 10
+(--precision bf16), measured-best batch per config (headline 256, with
+OOM backoff for smaller devices), 9 lean steps + 1 metrics step per 10
 (log_every_n_steps=10). Sync is a host readback of the final step's loss —
 on the remote-tunnel TPU backend block_until_ready returns before device
 completion, so a data-dependent readback is the only honest barrier.
@@ -171,22 +172,40 @@ def _bench_trans_unet(dtype, steps=6):
     the 1.03B-parameter model whose param-count golden the tests pin. Its
     f32 Adam state alone is ~12 GB, so the batch backs off on OOM; the
     successful batch is reported alongside the throughput."""
-    for batch in (8, 4, 2):
+    try:
+        return _with_batch_backoff(
+            lambda b: _bench_generic_train("trans_unet", "mse", b, dtype,
+                                           mults=(1, 2, 2, 4, 4),
+                                           steps=steps),
+            (8, 4, 2))
+    except Exception:
+        return 0.0, 0
+
+
+def _with_batch_backoff(fn, batches):
+    """Run ``fn(batch)`` at the largest batch that fits; per-chip throughput
+    rises with batch until HBM runs out, so each config benches at its
+    measured-best size with smaller fallbacks for tighter devices."""
+    last_err = None
+    for batch in batches:
         try:
-            ips = _bench_generic_train("trans_unet", "mse", batch, dtype,
-                                       mults=(1, 2, 2, 4, 4), steps=steps)
-            return ips, batch
+            return fn(batch), batch
         except Exception as e:  # XlaRuntimeError RESOURCE_EXHAUSTED etc.
-            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(
-                    e).lower():
+            msg = str(e).lower()
+            if ("resource_exhausted" not in msg and "memory" not in msg
+                    and "remote_compile" not in msg):
                 raise
-    return 0.0, 0
+            last_err = e
+    raise last_err
 
 
 def main():
     import os
 
-    train_bf16 = bench_pix2pix_train(128, jnp.bfloat16)
+    # Measured-best batches on one v5e chip (16 GB HBM); the backoff keeps
+    # the harness correct on smaller devices.
+    train_bf16, train_batch = _with_batch_backoff(
+        lambda b: bench_pix2pix_train(b, jnp.bfloat16), (256, 128, 64))
     sample_ips = bench_pix2pix_sample(128, jnp.bfloat16)
     result = {
         "metric": "pix2pix_256_gan_train_images_per_sec_per_chip",
@@ -194,7 +213,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(train_bf16 / NORTH_STAR_TARGET, 3),
         "sample_images_per_sec": round(sample_ips, 2),
-        "batch": 128,
+        "batch": train_batch,
         "precision": "bf16",
         "baseline_note": "vs_baseline = value / (2 x ~550 img/s A100 est)",
         "backend": jax.default_backend(),
@@ -202,17 +221,22 @@ def main():
     if not os.environ.get("BENCH_FAST"):
         # All five BASELINE.json configs in the one captured line
         # (each adds a long compile; BENCH_FAST=1 skips to the headline).
-        result["res18_mse_train_images_per_sec"] = round(
-            _bench_generic_train("res18_unet", "mse", 64, jnp.bfloat16), 2)
-        result["attention_ssim_psnr_train_images_per_sec"] = round(
-            _bench_generic_train("attention_unet", "ssim+psnr", 64,
-                                 jnp.bfloat16), 2)
+        ips, _ = _with_batch_backoff(
+            lambda b: _bench_generic_train("res18_unet", "mse", b,
+                                           jnp.bfloat16), (128, 64))
+        result["res18_mse_train_images_per_sec"] = round(ips, 2)
+        ips, _ = _with_batch_backoff(
+            lambda b: _bench_generic_train("attention_unet", "ssim+psnr", b,
+                                           jnp.bfloat16), (256, 128, 64))
+        result["attention_ssim_psnr_train_images_per_sec"] = round(ips, 2)
         trans_ips, trans_batch = _bench_trans_unet(jnp.bfloat16)
         result["trans_unet_1b_mse_train_images_per_sec"] = round(trans_ips, 2)
         result["trans_unet_batch"] = trans_batch
-        pal_train, pal_sample = _bench_palette(8, jnp.bfloat16)
+        (pal_train, pal_sample), pal_batch = _with_batch_backoff(
+            lambda b: _bench_palette(b, jnp.bfloat16), (32, 16, 8))
         result["palette_train_images_per_sec"] = round(pal_train, 2)
         result["palette_sample100_images_per_sec"] = round(pal_sample, 3)
+        result["palette_batch"] = pal_batch
     print(json.dumps(result))
 
 
