@@ -1,0 +1,6 @@
+"""Interop with the PyTorch reference: Lightning checkpoint import."""
+
+from pai_tpu.interop.torch_import import (
+    import_lightning_state_dict,
+    import_lightning_checkpoint,
+)
