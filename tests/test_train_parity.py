@@ -43,12 +43,16 @@ def _run_clean_subprocess(config, fixture_path):
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-@pytest.mark.parametrize("config,fname", [
-    ("gan", "train_parity_gan.npz"),
-    ("res18", "train_parity_res18_mse.npz"),
-    ("attention", "train_parity_attention_ssim_psnr.npz"),
+@pytest.mark.parametrize("config,fname,backstop", [
+    ("gan", "train_parity_gan.npz", 5e-3),
+    ("res18", "train_parity_res18_mse.npz", 5e-3),
+    ("attention", "train_parity_attention_ssim_psnr.npz", 5e-3),
+    # the ViT trajectory is more chaotic than the conv families: the
+    # reference's own 1e-6-perturbation control lands 7.7e-3 from itself,
+    # so the absolute backstop is wider (still 1.3x its control floor)
+    ("trans", "train_parity_trans_mse.npz", 1e-2),
 ])
-def test_training_quality_parity(config, fname):
+def test_training_quality_parity(config, fname, backstop):
     path = os.path.join(FIXDIR, fname)
     if not os.path.exists(path):
         pytest.skip(f"{fname} missing (tools/train_parity.py)")
@@ -70,7 +74,7 @@ def test_training_quality_parity(config, fname):
     assert dssim <= max(1e-3, ctl_dssim), (dssim, ctl_dssim)
     assert dpsnr <= max(5e-2, 2.0 * ctl_dpsnr), (dpsnr, ctl_dpsnr)
     # absolute backstop independent of the control
-    assert dssim <= 5e-3
+    assert dssim <= backstop
 
 
 def test_palette_training_quality_parity():

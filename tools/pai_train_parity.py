@@ -68,6 +68,23 @@ def run(config, fixture_path):
         gen = build_generator("attention_unet", channel_mults=(1, 2))
         gp, gs = port_attention(w, prefix="unet")
         disc, dparams, loss_type = None, None, "ssim+psnr"
+    elif config == "trans":
+        # Weight port via the general checkpoint-importer name maps
+        # (pai_tpu/interop) — 2-layer ViT matching the fixture's truncated
+        # reference (see tools/train_parity.py _build_wrapper).
+        from train_parity import IMG
+
+        from pai_tpu.interop.torch_import import _materialize, _trans_key
+        from pai_tpu.models.trans_unet import TransUnet
+
+        gen = TransUnet(out_channels=1, image_size=IMG,
+                        channel_mults=(1, 1), patch_size=4, vit_layers=2)
+        abstract = jax.eval_shape(lambda: gen.init(
+            jax.random.key(0), jnp.zeros((1, IMG, IMG, 1)), train=False))
+        key_fn = lambda p: _trans_key(p, 2)  # noqa: E731
+        gp = _materialize(abstract["params"], w, key_fn)
+        gs = _materialize(abstract["batch_stats"], w, key_fn)
+        disc, dparams, loss_type = None, None, "mse"
     else:
         raise ValueError(config)
 

@@ -200,6 +200,21 @@ def _build_wrapper(model_name, loss_type):
         from models.attention_unet import AttentionUnet
 
         unet = AttentionUnet(1, 1, channel_mults=(1, 2), dropout=0.0)
+    elif model_name == "trans_unet":
+        from models.trans_unet import TransUnet
+
+        unet = TransUnet(1, 1, image_size=IMG, channel_mults=(1, 1),
+                         patch_size=4, dropout=0.0)
+        # Intended per-sample patch attention (the reference's encoder is
+        # built without batch_first and silently attends across the batch,
+        # trans_unet.py:151-161) — same correction as the forward-parity
+        # fixture — and a 2-layer ViT so the CI-time head-to-head stays
+        # tractable (the full 12-layer forward chain is pinned separately
+        # by tests/test_forward_parity.py).
+        unet.vit_bottleneck.transformer.layers = \
+            unet.vit_bottleneck.transformer.layers[:2]
+        for layer in unet.vit_bottleneck.transformer.layers:
+            layer.self_attn.batch_first = True
     else:
         raise ValueError(model_name)
 
@@ -407,11 +422,22 @@ def main():
     _torchmetrics_real()
     _lightning_manual_stub()
     os.makedirs(FIXDIR, exist_ok=True)
-    run_config("pix2pix", "gan", "train_parity_gan.npz")
-    run_config("res18_unet", "mse", "train_parity_res18_mse.npz")
-    run_config("attention_unet", "ssim+psnr",
-               "train_parity_attention_ssim_psnr.npz")
-    run_palette("train_parity_palette.npz")
+    only = set(sys.argv[1:])  # e.g. `python tools/train_parity.py trans`
+
+    def want(tag):
+        return not only or tag in only
+
+    if want("gan"):
+        run_config("pix2pix", "gan", "train_parity_gan.npz")
+    if want("res18"):
+        run_config("res18_unet", "mse", "train_parity_res18_mse.npz")
+    if want("attention"):
+        run_config("attention_unet", "ssim+psnr",
+                   "train_parity_attention_ssim_psnr.npz")
+    if want("trans"):
+        run_config("trans_unet", "mse", "train_parity_trans_mse.npz")
+    if want("palette"):
+        run_palette("train_parity_palette.npz")
 
 
 if __name__ == "__main__":
