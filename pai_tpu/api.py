@@ -102,6 +102,36 @@ class _Experiment:
         obj._adopt_state_dict(state_dict, h)
         return obj
 
+    @classmethod
+    def from_lightning_checkpoint(cls, path: str, **hparams_override):
+        """Rebuild the model from a PyTorch-reference Lightning ``.ckpt``
+        (weights + BN stats + EMA mapped via pai_tpu.interop; same
+        conversion as ``tools/import_reference_ckpt.py``)."""
+        from pai_tpu.interop import import_lightning_checkpoint
+        from pai_tpu.restore import build_generator_from_hparams
+
+        # ResUnetGAN variants: pass model="res50_unet" etc. to override the
+        # class default.
+        model_name = hparams_override.pop("model", None) or cls.model_name
+        if not model_name:
+            raise ValueError(
+                "call on a concrete class (e.g. Pix2Pix) or pass model=...")
+        (params, stats, _, ema), h, _ = import_lightning_checkpoint(
+            str(path), model_name, hparams_override=hparams_override)
+        obj = cls.__new__(cls)
+        obj.model_name = model_name
+        obj.hparams = dict(TRAIN_DEFAULTS, **h)
+        obj._module = build_generator_from_hparams(
+            obj.hparams, int(obj.hparams.get("image_size") or 256))
+        obj._predict_fns = None
+        eval_params = params
+        if ema is not None:
+            # reference semantics: validation/eval runs EMA weights
+            eval_params = ema.get("unet", ema.get("generator", params))
+        obj._params = jax.device_put(eval_params)
+        obj._stats = jax.device_put(stats)
+        return obj
+
     # -- inference ------------------------------------------------------
     def _build_predict_fn(self, output_process: bool = False):
         module = self._module

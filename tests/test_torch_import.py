@@ -259,6 +259,37 @@ def test_import_cli_roundtrip(reference, tmp_path):
                                ref, rtol=2e-4, atol=2e-5)
 
 
+def test_api_from_lightning_checkpoint(reference, tmp_path):
+    """Library facade: Pix2Pix.from_lightning_checkpoint(path).predict(x)
+    reproduces the reference torch forward."""
+    import torch
+    from models.pix2pix import Unet
+    from pai_tpu.api import Pix2Pix
+
+    net = Unet(1, 1, channel_mults=(1, 2), dropout=0.0)
+    sd = _randomize(net, "unet")
+    x = np.random.default_rng(7).uniform(-1, 1, (2, 1, IMG, IMG)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+
+    ckpt = {"state_dict": {k: torch.from_numpy(v) for k, v in sd.items()},
+            "hyper_parameters": {
+                "in_channels": 1, "out_channels": 1,
+                "channel_mults": (1, 2), "dropout": 0.0,
+                "loss_type": "mse"},
+            "epoch": 0, "global_step": 0}
+    src = tmp_path / "best.ckpt"
+    torch.save(ckpt, src)
+
+    model = Pix2Pix.from_lightning_checkpoint(
+        str(src), image_size=IMG)
+    pred = model.predict(jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(pred), (0, 3, 1, 2)), ref,
+        rtol=2e-4, atol=2e-5)
+
+
 def test_import_gan_checkpoint_discriminator(reference):
     """A gan-loss checkpoint carries discriminator.* tensors; they import
     into pai_tpu's Discriminator and reproduce its patch logits."""
