@@ -3,4 +3,6 @@
 from pai_tpu.interop.torch_import import (
     import_lightning_state_dict,
     import_lightning_checkpoint,
+    export_lightning_state_dict,
+    export_lightning_checkpoint,
 )

@@ -425,6 +425,95 @@ def import_lightning_state_dict(model_name: str, sd: Dict, hparams: Dict,
     return params, stats, d_params, ema_params
 
 
+# --------------------------------------------------------------------------
+# export (pai_tpu -> reference Lightning checkpoint)
+# --------------------------------------------------------------------------
+def _inverse_transform(value, kind: str):
+    v = np.asarray(value, np.float32)
+    if kind == "conv":        # HWIO -> OIHW
+        return np.transpose(v, (3, 2, 0, 1))
+    if kind == "convt":       # HWIO -> (in,out,kh,kw)
+        return np.transpose(v, (2, 3, 0, 1))
+    if kind == "linear":      # (in,out) -> (out,in)
+        return np.transpose(v, (1, 0))
+    if kind == "qkv1d":       # (in,out) -> (out,in,1)
+        return np.transpose(v, (1, 0))[:, :, None]
+    return v
+
+
+def export_lightning_state_dict(model_name: str, params, stats,
+                                hparams: Dict) -> Dict[str, np.ndarray]:
+    """Map pai_tpu trees to a reference-layout ``state_dict`` (inverse of
+    :func:`import_lightning_state_dict`): every torch tensor name the
+    reference module owns, including BatchNorm ``num_batches_tracked``
+    (zeros) and — for palette — the registered diffusion schedule buffers
+    (palette.py:202-212), so ``load_state_dict(strict=True)`` succeeds."""
+    key_fn = _key_fn_for(model_name, hparams)
+    sd: Dict[str, np.ndarray] = {}
+    for tree in (params, stats):
+        for path, leaf in flatten_dict(tree).items():
+            torch_key, kind = key_fn(path)
+            sd[torch_key] = _inverse_transform(leaf, kind)
+    for key in list(sd):
+        if key.endswith("running_mean"):
+            sd[key[: -len("running_mean")] + "num_batches_tracked"] = \
+                np.zeros((), np.int64)
+    if model_name == "palette":
+        from pai_tpu.diffusion import make_schedule
+
+        sched_train = make_schedule(
+            hparams.get("schedule_type", "linear"), 2000, 1e-6, 0.01)
+        sched_inf = make_schedule("cosine", 100)
+        for prefix, sched in (("diffusion", sched_train),
+                              ("diffusion_inf", sched_inf)):
+            for name in ("alphas", "gammas", "gammas_prev"):
+                sd[f"{prefix}.{name}"] = np.asarray(
+                    getattr(sched, name), np.float32)
+    return sd
+
+
+def export_lightning_checkpoint(path: str, model_name: str, params, stats,
+                                hparams: Dict, d_params=None,
+                                epoch: int = 0, step: int = 0) -> None:
+    """torch.save a Lightning-format ``.ckpt`` the reference's
+    ``load_from_checkpoint`` / ``load_state_dict`` can consume
+    (report.py:26-43)."""
+    import torch
+
+    from pai_tpu.config import parse_int_list
+
+    sd = export_lightning_state_dict(model_name, params, stats, hparams)
+    if d_params is not None:
+        for path_t, leaf in flatten_dict(d_params).items():
+            torch_key, kind = _discriminator_key(path_t)
+            sd[torch_key] = _inverse_transform(leaf, kind)
+
+    hp = {"in_channels": int(hparams.get("in_channels", 1)),
+          "out_channels": int(hparams.get("out_channels", 1)),
+          "channel_mults": tuple(parse_int_list(hparams["channel_mults"])),
+          "dropout": float(hparams.get("dropout", 0.0))}
+    if model_name == "palette":
+        hp.update(attention_res=tuple(
+            parse_int_list(hparams["attention_res"])),
+            schedule_type=hparams.get("schedule_type", "linear"),
+            learn_var=bool(hparams.get("learn_variance", False)))
+    else:
+        hp["loss_type"] = hparams.get("loss_type", "mse")
+        if model_name in ("res18_unet", "res50_unet", "resv2_unet",
+                          "resnext_unet"):
+            hp["res_type"] = {"res18_unet": "18", "res50_unet": "50",
+                              "resv2_unet": "v2",
+                              "resnext_unet": "next"}[model_name]
+        if model_name == "trans_unet":
+            hp["patch_size"] = 4
+    torch.save({
+        "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                       for k, v in sd.items()},
+        "hyper_parameters": hp,
+        "epoch": int(epoch), "global_step": int(step),
+    }, path)
+
+
 def find_ema_state(ckpt: Dict):
     """Locate a torch_ema state dict (``shadow_params`` key) anywhere in
     the checkpoint's callback payloads (callbacks/ema.py:54-62; Lightning

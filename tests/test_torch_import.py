@@ -290,6 +290,55 @@ def test_api_from_lightning_checkpoint(reference, tmp_path):
         rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("model_name,mults", [
+    ("pix2pix", MULTS), ("res50_unet", MULTS), ("trans_unet", (1, 1))])
+def test_export_roundtrip(reference, model_name, mults):
+    """Reverse direction: init a pai_tpu model, export_lightning_state_dict,
+    load into the reference torch module with strict=True, and require the
+    torch forward to reproduce the flax forward."""
+    import torch
+
+    from pai_tpu.interop.torch_import import export_lightning_state_dict
+
+    h = _gan_hparams(model_name)
+    h["channel_mults"] = ",".join(str(m) for m in mults)
+    gen = build_generator(model_name, 1, 1, channel_mults=mults,
+                          dropout=0.0, image_size=IMG)
+    variables = gen.init(jax.random.key(11), jnp.zeros((1, IMG, IMG, 1)),
+                         train=False)
+    sd = export_lightning_state_dict(
+        model_name, variables["params"], variables.get("batch_stats", {}), h)
+    sd = {k[len("unet."):]: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in sd.items()}
+
+    if model_name == "pix2pix":
+        from models.pix2pix import Unet
+
+        net = Unet(1, 1, channel_mults=mults, dropout=0.0)
+    elif model_name == "res50_unet":
+        from models.res_unet import ResUnet
+
+        net = ResUnet(1, 1, res_type="50", channel_mults=mults, dropout=0.0)
+    else:
+        from models.trans_unet import TransUnet
+
+        net = TransUnet(1, 1, image_size=IMG, channel_mults=mults,
+                        patch_size=4, dropout=0.0)
+        for layer in net.vit_bottleneck.transformer.layers:
+            layer.self_attn.batch_first = True
+    net.load_state_dict(sd, strict=True)
+    net.eval()
+
+    x = np.random.default_rng(8).uniform(-1, 1, (2, 1, IMG, IMG)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    out = gen.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                    train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               ref, rtol=5e-4, atol=5e-4)
+
+
 def test_import_gan_checkpoint_discriminator(reference):
     """A gan-loss checkpoint carries discriminator.* tensors; they import
     into pai_tpu's Discriminator and reproduce its patch logits."""
