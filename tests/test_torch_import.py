@@ -291,7 +291,9 @@ def test_api_from_lightning_checkpoint(reference, tmp_path):
 
 
 @pytest.mark.parametrize("model_name,mults", [
-    ("pix2pix", MULTS), ("res50_unet", MULTS), ("trans_unet", (1, 1))])
+    ("pix2pix", MULTS), ("attention_unet", MULTS), ("res18_unet", MULTS),
+    ("res50_unet", MULTS), ("resv2_unet", MULTS), ("resnext_unet", MULTS),
+    ("trans_unet", (1, 1))])
 def test_export_roundtrip(reference, model_name, mults):
     """Reverse direction: init a pai_tpu model, export_lightning_state_dict,
     load into the reference torch module with strict=True, and require the
@@ -315,10 +317,17 @@ def test_export_roundtrip(reference, model_name, mults):
         from models.pix2pix import Unet
 
         net = Unet(1, 1, channel_mults=mults, dropout=0.0)
-    elif model_name == "res50_unet":
+    elif model_name == "attention_unet":
+        from models.attention_unet import AttentionUnet
+
+        net = AttentionUnet(1, 1, channel_mults=mults, dropout=0.0)
+    elif model_name.startswith("res"):
         from models.res_unet import ResUnet
 
-        net = ResUnet(1, 1, res_type="50", channel_mults=mults, dropout=0.0)
+        res_type = {"res18_unet": "18", "res50_unet": "50",
+                    "resv2_unet": "v2", "resnext_unet": "next"}[model_name]
+        net = ResUnet(1, 1, res_type=res_type, channel_mults=mults,
+                      dropout=0.0)
     else:
         from models.trans_unet import TransUnet
 
@@ -337,6 +346,52 @@ def test_export_roundtrip(reference, model_name, mults):
                     train=False)
     np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
                                ref, rtol=5e-4, atol=5e-4)
+
+
+def test_export_palette_strict_load(reference):
+    """Palette export: the reference Palette module (unet + registered
+    diffusion schedule buffers, palette.py:50-77,202-212) loads the
+    exported state_dict with strict=True and its UNet reproduces the flax
+    forward."""
+    import torch
+    from models.palette import Palette
+
+    from pai_tpu.interop.torch_import import export_lightning_state_dict
+
+    size = 16
+    hparams = {"model": "palette", "in_channels": 1, "out_channels": 1,
+               "channel_mults": "1,2", "attention_res": "2", "dropout": 0.0,
+               "learn_variance": False, "image_size": size,
+               "schedule_type": "linear"}
+    gen = build_generator("palette", 1, 1, channel_mults=(1, 2),
+                          attention_res=(2,), image_size=size)
+    variables = gen.init(jax.random.key(12),
+                         jnp.zeros((1, size, size, 1)),
+                         jnp.zeros((1, size, size, 1)),
+                         jnp.ones((1,)), train=False)
+    sd = export_lightning_state_dict(
+        "palette", variables["params"], variables.get("batch_stats", {}),
+        hparams)
+    palette = Palette(in_channels=1, out_channels=1, channel_mults=(1, 2),
+                      attention_res=(2,), dropout=0.0,
+                      schedule_type="linear", learn_var=False)
+    palette.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=True)
+    palette.eval()
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1, 1, (2, 1, size, size)).astype(np.float32)
+    y = rng.uniform(-1, 1, (2, 1, size, size)).astype(np.float32)
+    gammas = np.array([0.4, 0.8], np.float32)
+    with torch.no_grad():
+        ref = palette.unet(torch.from_numpy(x), torch.from_numpy(y),
+                           torch.from_numpy(gammas)).numpy()
+    out = gen.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                    jnp.asarray(np.transpose(y, (0, 2, 3, 1))),
+                    jnp.asarray(gammas), train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               ref, rtol=2e-4, atol=2e-5)
 
 
 def test_import_gan_checkpoint_discriminator(reference):

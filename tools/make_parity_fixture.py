@@ -56,6 +56,12 @@ def _install_stubs():
         def log(self, *a, **k):
             pass
 
+        @property
+        def device(self):  # LightningModule property (Palette reads it)
+            import torch
+
+            return torch.device("cpu")
+
     pl_stub.LightningModule = FakeLM
     pl_stub.LightningDataModule = object
     pl_stub.callbacks = types.SimpleNamespace(
