@@ -59,7 +59,14 @@ def _rebuild_from_checkpoint(model_name: str, ckpt_path: str):
 
 def run_report(name: str, checkpoint: Optional[str], data: str,
                model_name: str, batch_size: int = 2,
-               reports_dir: str = "reports") -> Dict[str, float]:
+               reports_dir: str = "reports",
+               output_process: bool = False) -> Dict[str, float]:
+    """``output_process=True`` (palette only) additionally writes the
+    reverse-diffusion process — y_T plus every (timesteps // 7)-th frame,
+    the reference's ``forward(output_process=True)`` capture
+    (models/palette.py:79-100) — to ``reports/<name>/process/``."""
+    if output_process and model_name != "palette":
+        raise ValueError("--output-process is only supported by palette")
     image_size = IMAGE_SIZE
     learn_var = False
     generator = params = stats = None
@@ -82,6 +89,8 @@ def run_report(name: str, checkpoint: Optional[str], data: str,
         sched_inf = make_schedule("cosine", 100)
         from pai_tpu.diffusion import ddpm_sample
 
+        capture = sched_inf.timesteps // 7 if output_process else None
+
         @jax.jit
         def _predict(params_, stats_, x, rng):
             def denoise(c, y_t, gamma):
@@ -90,10 +99,16 @@ def run_report(name: str, checkpoint: Optional[str], data: str,
                     variables["batch_stats"] = stats_
                 return generator.apply(variables, c, y_t, gamma, train=False)
 
-            return ddpm_sample(sched_inf, denoise, x, rng, learn_var)
+            return ddpm_sample(sched_inf, denoise, x, rng, learn_var,
+                               capture_every=capture)
 
-        def predict(x, rng):
-            return _predict(params, stats, x, rng)
+        if output_process:
+            def predict(x, rng):
+                y_0, frames = _predict(params, stats, x, rng)
+                return y_0, frames
+        else:
+            def predict(x, rng):
+                return _predict(params, stats, x, rng)
     else:
         @jax.jit
         def _predict(params_, stats_, x):
@@ -108,7 +123,9 @@ def run_report(name: str, checkpoint: Optional[str], data: str,
     report_dir = os.path.join(reports_dir, name)
     outputs_dir = os.path.join(report_dir, "outputs")
     maps_dir = os.path.join(report_dir, "ssim_images")
-    for d in (report_dir, outputs_dir, maps_dir):
+    process_dir = os.path.join(report_dir, "process")
+    for d in (report_dir, outputs_dir, maps_dir) + (
+            (process_dir,) if output_process else ()):
         os.makedirs(d, exist_ok=True)
 
     # One decode pass, fully streaming (the reference decodes the dataset
@@ -130,6 +147,9 @@ def run_report(name: str, checkpoint: Optional[str], data: str,
     for batch in loader:
         rng, sub = jax.random.split(rng)
         pred = predict(jnp.asarray(batch.x), sub)
+        process = None
+        if output_process:
+            pred, process = pred
         p = denormalize(pred)
         t = denormalize(jnp.asarray(batch.y))
         per_image, full, per_psnr, per_mse, per_band = chunk_metrics(p, t)
@@ -141,12 +161,21 @@ def run_report(name: str, checkpoint: Optional[str], data: str,
         p_np = np.asarray(p)[:nv]
         sq_sum += float(np.sum((p_np - np.asarray(t)[:nv]) ** 2))
         px_count += p_np.size
-        for img, m in zip(p_np, np.asarray(full)[:nv]):
+        if process is not None:
+            proc_np = np.asarray(denormalize(process))[:nv]  # (n, F, H, W, C)
+        for i, (img, m) in enumerate(zip(p_np, np.asarray(full)[:nv])):
             write_png(to_int_np(afmhot_rgb(img[..., 0])),
                       os.path.join(outputs_dir,
                                    f"{str(index).zfill(5)}.png"))
             write_png(to_int_np(np.clip(m, 0.0, 1.0)),
                       os.path.join(maps_dir, f"{str(index).zfill(5)}.png"))
+            if process is not None:
+                for k, frame in enumerate(proc_np[i]):
+                    write_png(
+                        to_int_np(afmhot_rgb(frame[..., 0])),
+                        os.path.join(
+                            process_dir,
+                            f"{str(index).zfill(5)}_{k}.png"))
             index += 1
     ssims = np.concatenate(ssims)
     psnrs = np.concatenate(psnrs)

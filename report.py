@@ -23,6 +23,7 @@ def main(hparams):
         str(hparams.data),
         hparams.model,
         batch_size=hparams.batch_size,
+        output_process=hparams.output_process,
     )
     print(f"[pai_tpu] report written to reports/{hparams.name}: {stats}")
 
@@ -59,6 +60,12 @@ if __name__ == "__main__":
             "identity",
         ],
     )
+    # pai_tpu extension (palette only): also write the 8-frame
+    # reverse-diffusion process (y_T + every (T//7)-th step, the
+    # reference's forward(output_process=True), models/palette.py:79-100)
+    # to reports/<name>/process/.
+    parser.add_argument("--output-process", default=False,
+                        action="store_true")
     args = parser.parse_args()
 
     main(args)

@@ -49,6 +49,51 @@ def test_identity_report(tmp_path, small_dataset, monkeypatch):
     assert len(depth_lines) == 17
 
 
+def test_palette_report_output_process(tmp_path, small_dataset, monkeypatch):
+    """--output-process: a palette report additionally writes the
+    reverse-diffusion capture (y_T + every (T//7)-th step,
+    models/palette.py:79-100) to reports/<name>/process/.
+
+    The inference schedule is shrunk to 20 steps to keep the CPU compile
+    tractable; the T=100 capture-set math itself is pinned by
+    tests/test_diffusion.py and the api output_process test."""
+    import pai_tpu.reporting as reporting
+    from pai_tpu.diffusion import make_schedule
+    from pai_tpu.train.loop import fit
+    from pai_tpu.reporting import run_report
+
+    monkeypatch.setattr(reporting, "make_schedule",
+                        lambda kind, n, *a: make_schedule(kind, 20))
+
+    h = {
+        "name": "palrep", "data": small_dataset, "val_data": None,
+        "epochs": 1, "steps": 2, "batch_size": 4, "val_epochs": 10,
+        "precision": "32", "ema": False, "channel_mults": "1,2",
+        "attention_res": "2", "dropout": 0.0, "loss_type": "mse",
+        "schedule_type": "linear", "learn_variance": False,
+        "model": "palette", "seed": 0, "resume": False, "image_size": 32,
+        "log_dir": str(tmp_path / "logs"), "ckpt_dir": str(tmp_path / "ck"),
+    }
+    fit(h)
+    ckpt = str(tmp_path / "ck" / "palrep" / "last")
+    stats = run_report("palrep", ckpt, small_dataset, "palette",
+                       batch_size=5, reports_dir=str(tmp_path / "reports"),
+                       output_process=True)
+    assert np.isfinite(stats["ssim"])
+    pdir = tmp_path / "reports" / "palrep" / "process"
+    frames = sorted(os.listdir(pdir))
+    # 5 images x 11 frames: y_T plus the steps of the 20-step chain where
+    # t % (20 // 7) == 0 (t = 18, 16, ..., 2, 0) — the reference's capture
+    # rule i % (T // 7) == 0 applied to this T (palette.py:83-95)
+    assert len(frames) == 5 * 11, frames[:12]
+    assert "00000_0.png" in frames and "00004_10.png" in frames
+
+    with pytest.raises(ValueError):
+        run_report("bad", None, small_dataset, "identity",
+                   reports_dir=str(tmp_path / "reports"),
+                   output_process=True)
+
+
 def test_trained_checkpoint_report(tmp_path, small_dataset):
     """Train 1 epoch, then rebuild the model from the checkpoint alone and
     report (report.py:24-43 load_from_checkpoint semantics)."""
