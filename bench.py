@@ -173,14 +173,10 @@ def _bench_trans_unet(dtype, steps=6):
     f32 Adam state alone is ~12 GB; batch 96 is the measured-best fit in
     the remaining v5e HBM (the 1B params sit in the 4-token ViT, so conv
     activations — not ViT state — bound the batch), with OOM backoff."""
-    try:
-        return _with_batch_backoff(
-            lambda b: _bench_generic_train("trans_unet", "mse", b, dtype,
-                                           mults=(1, 2, 2, 4, 4),
-                                           steps=steps),
-            (96, 64, 32, 16, 8, 4))
-    except Exception:
-        return 0.0, 0
+    return _with_batch_backoff(
+        lambda b: _bench_generic_train("trans_unet", "mse", b, dtype,
+                                       mults=(1, 2, 2, 4, 4), steps=steps),
+        (96, 64, 32, 16, 8, 4))
 
 
 def _with_batch_backoff(fn, batches):

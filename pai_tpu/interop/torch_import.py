@@ -570,4 +570,9 @@ def import_lightning_checkpoint(path: str, model_name: str,
         model_name, sd, hparams, ema_state=ema_state)
     meta = {"step": int(ckpt.get("global_step", 0) or 0),
             "epoch": int(ckpt.get("epoch", 0) or 0)}
+    if ema_state is not None:
+        # torch_ema's decay ramp min(decay, (1+n)/(10+n)) depends on n;
+        # resumed training must continue from the checkpoint's n, not 0
+        # (else the first resumed updates overwrite the accumulated EMA).
+        meta["ema_num_updates"] = int(ema_state.get("num_updates") or 0)
     return trees, hparams, meta

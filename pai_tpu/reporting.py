@@ -141,7 +141,6 @@ def run_report(name: str, checkpoint: Optional[str], data: str,
                 metrics.depth_ssim_per_image(p, t))
 
     ssims, psnrs, mses, bands = [], [], [], []
-    sq_sum, px_count = 0.0, 0
     index = 0
     rng = jax.random.key(0)
     for batch in loader:
@@ -159,8 +158,6 @@ def run_report(name: str, checkpoint: Optional[str], data: str,
         mses.append(np.asarray(per_mse)[:nv])
         bands.append(np.asarray(per_band)[:nv])
         p_np = np.asarray(p)[:nv]
-        sq_sum += float(np.sum((p_np - np.asarray(t)[:nv]) ** 2))
-        px_count += p_np.size
         if process is not None:
             proc_np = np.asarray(denormalize(process))[:nv]  # (n, F, H, W, C)
         for i, (img, m) in enumerate(zip(p_np, np.asarray(full)[:nv])):
@@ -191,10 +188,12 @@ def run_report(name: str, checkpoint: Optional[str], data: str,
                 else 0.0
             f.write(f"{d + 1},{mean},{std}\n")
 
-    # Whole-set stats (report.py:143-161).
+    # Whole-set stats (report.py:143-161). All images share one resolution
+    # (256² resize), so sqrt(mean(per-image MSEs)) IS the whole-set RMSE —
+    # no second pass over pixels.
     ssim_stat = float(ssims.mean())
     psnr_stat = float(psnrs.mean())
-    rmse_stat = float(np.sqrt(sq_sum / px_count))
+    rmse_stat = float(np.sqrt(mses.mean()))
 
     flops = 0
     n_params = 0

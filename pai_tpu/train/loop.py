@@ -83,6 +83,18 @@ class Trainer:
                 f"{len(devices)} devices")
         dp = _math.gcd(hparams["batch_size"],
                        len(devices) // (self.tp * self.sp))
+        if (self.process_count > 1
+                and dp * self.tp * self.sp != len(devices)):
+            # Multi-process input assembly (local_batch_rows +
+            # make_array_from_process_local_data) requires the mesh to span
+            # every process's devices — a prefix mesh would leave some
+            # hosts' chips outside the computation while they still load
+            # batch rows.
+            raise ValueError(
+                f"multi-process run: batch_size {hparams['batch_size']} x "
+                f"tp {self.tp} x sp {self.sp} yields dp={dp}, which does "
+                f"not span all {len(devices)} pod devices; choose a batch "
+                f"size divisible by {len(devices) // (self.tp * self.sp)}")
         self.mesh = make_mesh(devices[:dp * self.tp * self.sp],
                               tp=self.tp, sp=self.sp)
         self.batch_shard = batch_sharding(self.mesh)
@@ -234,6 +246,19 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self) -> Dict[str, float]:
+        try:
+            return self._fit()
+        finally:
+            if self.sp > 1:
+                # the ring-attention dispatch context is process-global
+                # (ops.attention._SEQ_MESH); clear it so later work in the
+                # same process (class-API predict, reports) does not route
+                # through a stale mesh
+                from pai_tpu.ops import attention as attention_ops
+
+                attention_ops.set_sequence_mesh(None)
+
+    def _fit(self) -> Dict[str, float]:
         h = self.hparams
         self.train_dataset = ImageDataset(h["data"], self.image_size)
         if self.is_palette and h.get("warmup_unit", "epoch") == "epoch":

@@ -150,10 +150,16 @@ def ssim_per_image(pred, target, data_range: float = 1.0):
     measured 2.7x the XLA formulation at batch 128 x 256²; gradients
     recompute through this XLA path via its custom_vjp). Elsewhere, and
     whenever the full map is needed, the XLA formulation below is the
-    reference."""
+    reference.
+
+    The Pallas path is restricted to single-device processes: inside a
+    GSPMD-partitioned jit (dp/tp/sp meshes) a bare pallas_call carries no
+    partitioning spec, so the multi-device steps keep the XLA formulation
+    (which GSPMD shards like any other op)."""
     if (data_range == 1.0 and pred.shape[-1] == 1
             and pred.shape[1] > 2 * 5 and pred.shape[2] > 2 * 5
-            and jax.default_backend() == "tpu"):
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1):
         try:
             from pai_tpu.kernels.ssim_pallas import ssim_per_image_fused
 

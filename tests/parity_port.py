@@ -14,13 +14,17 @@ import numpy as np
 import jax.numpy as jnp
 from flax.traverse_util import unflatten_dict
 
+# Single source of truth for the tensor-layout rules: the production
+# checkpoint importer. These fixtures witness the same transforms.
+from pai_tpu.interop.torch_import import _transform
+
 
 def conv_w(w):   # torch OIHW -> HWIO
-    return jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+    return jnp.asarray(_transform(w, "conv"))
 
 
 def convt_w(w):  # torch (in,out,kh,kw) -> HWIO
-    return jnp.asarray(np.transpose(w, (2, 3, 0, 1)))
+    return jnp.asarray(_transform(w, "convt"))
 
 
 def _bn(w, my_prefix, torch_mod, params, stats):

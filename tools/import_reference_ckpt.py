@@ -71,16 +71,20 @@ def main():
     batch_shape = (1, args.image_size, args.image_size, in_ch)
     rng = jax.random.key(0)
     step = jnp.asarray(src_meta["step"], jnp.int32)
+    ema_n = jnp.asarray(src_meta.get("ema_num_updates", 0), jnp.int32)
     if args.model == "palette":
         state = steps_lib.init_palette_state(
             generator, rng, batch_shape, hparams["ema"])
         state = state.replace(params=params, stats=stats, step=step)
         if ema_params is not None:
             state = state.replace(ema=EmaState(
-                params=ema_params,
-                num_updates=state.ema.num_updates))
+                params=ema_params, num_updates=ema_n))
     else:
         disc = Discriminator() if d_params is not None else None
+        if d_params is None and hparams.get("loss_type") == "gan":
+            # a gan checkpoint without discriminator tensors cannot resume
+            # the two-optimizer step; keep meta consistent with the state
+            hparams["loss_type"] = "mse"
         loss_type = hparams["loss_type"] if d_params is not None else "mse"
         state = steps_lib.init_gan_state(
             generator, disc, rng, batch_shape, loss_type, hparams["ema"])
@@ -89,9 +93,7 @@ def main():
             state = state.replace(d_params=d_params)
         if ema_params is not None:
             state = state.replace(ema=EmaState(
-                params=ema_params,
-                num_updates=state.ema.num_updates))
-        hparams["loss_type"] = hparams.get("loss_type", loss_type)
+                params=ema_params, num_updates=ema_n))
 
     ckpt = CheckpointManager(args.ckpt_dir, args.name)
     state_dict = serialization.to_state_dict(state)
