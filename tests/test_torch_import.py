@@ -209,6 +209,43 @@ def test_import_palette_with_discriminator_and_ema(reference):
                                    rtol=1e-6)
 
 
+def test_import_checkpoint_ema_metadata(reference, tmp_path):
+    """import_lightning_checkpoint: torch_ema callback payloads anywhere in
+    checkpoint['callbacks'] are found, shadow params map through, and
+    num_updates survives into meta (the decay ramp min(d,(1+n)/(10+n))
+    must resume from the checkpoint's n, not 0)."""
+    import torch
+    from models.pix2pix import Unet
+
+    from pai_tpu.interop import import_lightning_checkpoint
+
+    net = Unet(1, 1, channel_mults=(1, 2), dropout=0.0)
+    sd = _randomize(net, "unet")
+    param_names = [k for k, _ in net.named_parameters()]
+    shadow = [torch.from_numpy(sd[f"unet.{k}"] * 0.5) for k in param_names]
+    ckpt = {
+        "state_dict": {k: torch.from_numpy(v) for k, v in sd.items()},
+        "hyper_parameters": {"in_channels": 1, "out_channels": 1,
+                             "channel_mults": (1, 2), "dropout": 0.0,
+                             "loss_type": "mse"},
+        "epoch": 5, "global_step": 1234,
+        "callbacks": {"EMACallback": {
+            "decay": 0.9999, "num_updates": 777, "shadow_params": shadow}},
+    }
+    src = tmp_path / "ema.ckpt"
+    torch.save(ckpt, src)
+
+    (params, stats, d_params, ema), h, meta = import_lightning_checkpoint(
+        str(src), "pix2pix", hparams_override={"image_size": IMG})
+    assert h["ema"] is True
+    assert meta["ema_num_updates"] == 777
+    assert d_params is None
+    for a, b in zip(jax.tree.leaves(ema["generator"]),
+                    jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), 0.5 * np.asarray(b),
+                                   rtol=1e-6)
+
+
 def test_import_cli_roundtrip(reference, tmp_path):
     """End to end: torch.save a Lightning-format .ckpt of the reference
     Pix2Pix wrapper -> tools/import_reference_ckpt.py -> CheckpointManager
