@@ -385,6 +385,80 @@ def test_export_roundtrip(reference, model_name, mults):
                                ref, rtol=5e-4, atol=5e-4)
 
 
+def test_export_cli_roundtrip(reference, tmp_path):
+    """End to end: train a tiny run, tools/export_reference_ckpt.py the
+    best checkpoint, torch.load the .ckpt and load_state_dict(strict=True)
+    into the reference wrapper's modules (generator AND discriminator);
+    forwards match."""
+    import subprocess
+    import torch
+    from models.pix2pix import Unet
+    from models.wrapper import Discriminator as TorchDisc
+
+    from pai_tpu.train.loop import fit
+    from pai_tpu.utils.images import write_png
+
+    rng = np.random.default_rng(10)
+    entries = []
+    for i in range(4):
+        img = rng.integers(0, 255, size=(IMG, IMG), dtype=np.uint8)
+        write_png(img, str(tmp_path / f"in_{i}.png"))
+        write_png(255 - img, str(tmp_path / f"gt_{i}.png"))
+        entries.append(f"- input: in_{i}.png\n  ground_truth: gt_{i}.png\n")
+    (tmp_path / "d.yaml").write_text("".join(entries))
+    h = {
+        "name": "exprun", "data": str(tmp_path / "d.yaml"),
+        "val_data": str(tmp_path / "d.yaml"), "epochs": 1, "steps": -1,
+        "batch_size": 4, "val_epochs": 1, "precision": "32", "ema": False,
+        "channel_mults": "1,2", "attention_res": "2", "dropout": 0.0,
+        "loss_type": "gan", "schedule_type": "linear",
+        "learn_variance": False, "model": "pix2pix", "seed": 0,
+        "resume": False, "image_size": IMG,
+        "log_dir": str(tmp_path / "logs"), "ckpt_dir": str(tmp_path / "ck"),
+    }
+    fit(h)
+
+    out_ckpt = tmp_path / "exported.ckpt"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/export_reference_ckpt.py"),
+         str(tmp_path / "ck/exprun/best"), "-o", str(out_ckpt)],
+        capture_output=True, text=True, env=env, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    ckpt = torch.load(out_ckpt, map_location="cpu", weights_only=False)
+    assert ckpt["hyper_parameters"]["loss_type"] == "gan"
+    unet_sd = {k[len("unet."):]: v for k, v in ckpt["state_dict"].items()
+               if k.startswith("unet.")}
+    disc_sd = {k[len("discriminator."):]: v
+               for k, v in ckpt["state_dict"].items()
+               if k.startswith("discriminator.")}
+    net = Unet(1, 1, channel_mults=(1, 2), dropout=0.0)
+    net.load_state_dict(unet_sd, strict=True)
+    net.eval()
+    disc = TorchDisc(in_channels=1)
+    disc.load_state_dict(disc_sd, strict=True)
+    disc.eval()
+
+    from pai_tpu.restore import rebuild_eval_model
+    from pai_tpu.utils.checkpoint import load_checkpoint
+
+    state_dict, meta = load_checkpoint(str(tmp_path / "ck/exprun/best"))
+    gen, params, stats, _ = rebuild_eval_model(state_dict, meta["hparams"])
+    x = np.random.default_rng(11).uniform(-1, 1, (2, 1, IMG, IMG)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    out = gen.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                    train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               ref, rtol=2e-4, atol=2e-5)
+
+
 def test_export_palette_strict_load(reference):
     """Palette export: the reference Palette module (unet + registered
     diffusion schedule buffers, palette.py:50-77,202-212) loads the
