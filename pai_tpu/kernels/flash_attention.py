@@ -55,10 +55,17 @@ def _block_sizes(t: int, d: int):
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
-                *, scale: float):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale: float,
+                emit_lse: bool):
+    """``emit_lse=True`` additionally writes the per-row log-sum-exp
+    residual for the backward; the inference/primal path skips it (an
+    unused pallas output cannot be DCE'd by XLA, and the 100-step sampler
+    calls this at T up to 16,384 with no backward ever running)."""
+    if emit_lse:
+        lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
     kv_idx = pl.program_id(2)
-    num_kv = pl.num_programs(2)
 
     @pl.when(kv_idx == 0)
     def _():
@@ -87,11 +94,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
-        lse = m_ref[:] + jnp.log(l_ref[:])          # (BLOCK_Q, 1)
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+        if emit_lse:
+            lse = m_ref[:] + jnp.log(l_ref[:])      # (BLOCK_Q, 1)
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _flash_forward_with_lse(q, k, v, interpret: bool = False):
+def _fwd_call(q, k, v, emit_lse: bool, interpret: bool):
     b, h, t, d = q.shape
     scale = d ** -0.25
     block_q, block_k = _block_sizes(t, d)
@@ -99,9 +107,16 @@ def _flash_forward_with_lse(q, k, v, interpret: bool = False):
     kf = k.reshape(b * h, t, d)
     vf = v.reshape(b * h, t, d)
 
+    o_spec = pl.BlockSpec((1, block_q, d), lambda i, j, kv: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((b * h, t, d), q.dtype)
+    lse_spec = pl.BlockSpec((1, block_q, LANES), lambda i, j, kv: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    lse_shape = jax.ShapeDtypeStruct((b * h, t, LANES), jnp.float32)
+
     grid = (b * h, t // block_q, t // block_k)
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+    result = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, emit_lse=emit_lse),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j, kv: (i, j, 0),
@@ -111,16 +126,8 @@ def _flash_forward_with_lse(q, k, v, interpret: bool = False):
             pl.BlockSpec((1, block_k, d), lambda i, j, kv: (i, kv, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda i, j, kv: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, LANES), lambda i, j, kv: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, t, LANES), jnp.float32),
-        ),
+        out_specs=(o_spec, lse_spec) if emit_lse else o_spec,
+        out_shape=(o_shape, lse_shape) if emit_lse else o_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -133,12 +140,20 @@ def _flash_forward_with_lse(q, k, v, interpret: bool = False):
             transcendentals=b * h * t * t,
         ),
     )(qf, kf, vf)
-    return out.reshape(b, h, t, d), lse[:, :, :1]  # (bh, t, 1)
+    if emit_lse:
+        out, lse = result
+        return out.reshape(b, h, t, d), lse[:, :, :1]  # (bh, t, 1)
+    return result.reshape(b, h, t, d)
+
+
+def _flash_forward_with_lse(q, k, v, interpret: bool = False):
+    return _fwd_call(q, k, v, emit_lse=True, interpret=interpret)
 
 
 def _flash_forward(q, k, v, interpret: bool = False):
-    """q,k,v: (B, H, T, D) -> (B, H, T, D)."""
-    return _flash_forward_with_lse(q, k, v, interpret)[0]
+    """q,k,v: (B, H, T, D) -> (B, H, T, D). No lse residual is written —
+    this is the inference/primal path."""
+    return _fwd_call(q, k, v, emit_lse=False, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

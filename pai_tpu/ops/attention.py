@@ -152,12 +152,18 @@ def multihead_attention(q, k, v, use_pallas: bool = True):
         return _sequence_parallel_attention(q, k, v)
     if t < _BLOCKWISE_THRESHOLD or t % _KV_BLOCK or t % _Q_BLOCK:
         return _full_attention(q, k, v)
-    if use_pallas:
+    # The Pallas path is restricted to single-device processes: a bare
+    # pallas_call inside a GSPMD-partitioned jit carries no partitioning
+    # spec (same gate as metrics.ssim_per_image) — multi-device meshes keep
+    # the blockwise XLA formulation, which GSPMD shards freely.
+    if (use_pallas and jax.default_backend() == "tpu"
+            and jax.device_count() == 1):
         try:
             from pai_tpu.kernels.flash_attention import flash_attention
-
-            if jax.default_backend() == "tpu":
-                return flash_attention(q, k, v)
-        except Exception:
-            pass
+        except ImportError:
+            flash_attention = None
+        if flash_attention is not None:
+            # call OUTSIDE the try: a real kernel defect must propagate,
+            # not silently fall back to the slow path
+            return flash_attention(q, k, v)
     return _blockwise_attention(q, k, v, _Q_BLOCK, _KV_BLOCK)

@@ -113,7 +113,24 @@ def ssim_parts(pred, target, data_range: float = 1.0,
     Mirrors torchmetrics ``_ssim_update``: reflect-pad by (k-1)//2, valid
     Gaussian windows over the five moment maps, similarity map at full
     resolution, scalar = mean over the map cropped by the pad on every side.
+
+    On a single-device TPU process with default constants this dispatches
+    to the fused Pallas pair kernel (reflect padding folded into the banded
+    blur matrices — no padded copies; gradients recompute through the XLA
+    formulation below via its custom_vjp), under the same gate as
+    ``ssim_per_image``.
     """
+    if (data_range == 1.0 and kernel_size == 11 and sigma == 1.5
+            and k1 == 0.01 and k2 == 0.03 and pred.shape[-1] == 1
+            and pred.shape[1] > 2 * 5 and pred.shape[2] > 2 * 5
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1):
+        try:
+            from pai_tpu.kernels.ssim_pallas import ssim_parts_fused
+
+            return ssim_parts_fused(pred, target)
+        except ImportError:
+            pass
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     pad = (kernel_size - 1) // 2
@@ -162,10 +179,12 @@ def ssim_per_image(pred, target, data_range: float = 1.0):
             and jax.device_count() == 1):
         try:
             from pai_tpu.kernels.ssim_pallas import ssim_per_image_fused
-
+        except ImportError:
+            ssim_per_image_fused = None
+        if ssim_per_image_fused is not None:
+            # call outside the try: a real kernel defect must propagate,
+            # not silently fall back to the slow path
             return ssim_per_image_fused(pred, target)
-        except Exception:
-            pass
     per_image, _ = ssim_parts(pred, target, data_range)
     return per_image
 

@@ -64,6 +64,37 @@ def test_fused_ssim_gradient_matches_reference():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_flash_attention_multiblock_parity():
+    """t=2048 forces 2x2 blocks (BLOCK=1024): the online-softmax rescale
+    (alpha/m/l carry at kv_idx>0) and the cross-block dq/dkv accumulation —
+    the exact paths production engages at t>=4096 — must stay exact. The
+    single-block tests above cannot catch a regression here."""
+    from pai_tpu.kernels import flash_attention as fa
+    from pai_tpu.ops.attention import _full_attention
+
+    rng = jax.random.key(7)
+    kq, kk, kv, kg = jax.random.split(rng, 4)
+    b, h, t, d = 1, 1, 2048, 32
+    q = jax.random.normal(kq, (b, h, t, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
+    g = jax.random.normal(kg, (b, h, t, d), jnp.float32)
+    assert fa._block_sizes(t, d)[0] < t  # genuinely multi-block
+
+    expected = _full_attention(q, k, v)
+    got = fa._flash_forward(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=5e-5, atol=5e-5)
+
+    _, vjp_ref = jax.vjp(_full_attention, q, k, v)
+    grads_ref = vjp_ref(g)
+    o, lse = fa._flash_forward_with_lse(q, k, v, interpret=True)
+    grads = fa._flash_backward(q, k, v, o, lse, g, interpret=True)
+    for name, a, e in zip(("dq", "dk", "dv"), grads, grads_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=5e-4, atol=5e-5, err_msg=name)
+
+
 def test_flash_attention_backward_kernels_parity():
     """The Pallas backward kernels (dq + dk/dv with saved lse) must equal
     the gradient of full attention (interpret mode on CPU)."""
