@@ -196,6 +196,19 @@ def _with_batch_backoff(fn, batches):
     raise last_err
 
 
+def _release_config_memory():
+    """Drop every compiled executable and device buffer between configs.
+    The remote-compile client retains large host-side artifacts per compiled
+    program; across the five-config matrix those accumulate to ~100 GB of
+    host RSS (observed OOM-kill on a 125 GB host). Each config is timed
+    independently, so clearing the jit caches between them is free."""
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
+
+
 def main():
     import os
 
@@ -203,7 +216,9 @@ def main():
     # the harness correct on smaller devices.
     train_bf16, train_batch = _with_batch_backoff(
         lambda b: bench_pix2pix_train(b, jnp.bfloat16), (256, 128, 64))
+    _release_config_memory()
     sample_ips = bench_pix2pix_sample(128, jnp.bfloat16)
+    _release_config_memory()
     result = {
         "metric": "pix2pix_256_gan_train_images_per_sec_per_chip",
         "value": round(train_bf16, 2),
@@ -222,13 +237,16 @@ def main():
             lambda b: _bench_generic_train("res18_unet", "mse", b,
                                            jnp.bfloat16), (128, 64))
         result["res18_mse_train_images_per_sec"] = round(ips, 2)
+        _release_config_memory()
         ips, _ = _with_batch_backoff(
             lambda b: _bench_generic_train("attention_unet", "ssim+psnr", b,
                                            jnp.bfloat16), (256, 128, 64))
         result["attention_ssim_psnr_train_images_per_sec"] = round(ips, 2)
+        _release_config_memory()
         trans_ips, trans_batch = _bench_trans_unet(jnp.bfloat16)
         result["trans_unet_1b_mse_train_images_per_sec"] = round(trans_ips, 2)
         result["trans_unet_batch"] = trans_batch
+        _release_config_memory()
         (pal_train, pal_sample), pal_batch = _with_batch_backoff(
             lambda b: _bench_palette(b, jnp.bfloat16), (32, 16, 8))
         result["palette_train_images_per_sec"] = round(pal_train, 2)

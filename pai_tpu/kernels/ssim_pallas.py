@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from pai_tpu.utils.metrics import (
     _banded_blur_matrix,
     _banded_blur_matrix_reflect,
-    ssim_parts,
+    ssim_parts_xla,
 )
 
 KERNEL = 11
@@ -196,7 +196,7 @@ def _fwd(pred, target):
 
 def _bwd(residuals, g):
     pred, target = residuals
-    _, vjp_fn = jax.vjp(lambda a, b: ssim_parts(a, b), pred, target)
+    _, vjp_fn = jax.vjp(lambda a, b: ssim_parts_xla(a, b), pred, target)
     return vjp_fn(g)
 
 
@@ -214,7 +214,7 @@ def _sfwd(pred, target):
 
 def _sbwd(residuals, g):
     pred, target = residuals
-    _, vjp_fn = jax.vjp(lambda a, b: ssim_parts(a, b)[0], pred, target)
+    _, vjp_fn = jax.vjp(lambda a, b: ssim_parts_xla(a, b)[0], pred, target)
     return vjp_fn(g)
 
 

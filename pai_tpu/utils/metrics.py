@@ -116,9 +116,10 @@ def ssim_parts(pred, target, data_range: float = 1.0,
 
     On a single-device TPU process with default constants this dispatches
     to the fused Pallas pair kernel (reflect padding folded into the banded
-    blur matrices — no padded copies; gradients recompute through the XLA
-    formulation below via its custom_vjp), under the same gate as
-    ``ssim_per_image``.
+    blur matrices — no padded copies; gradients recompute through
+    ``ssim_parts_xla`` below via its custom_vjp — the kernel's backward
+    MUST target the XLA function directly, never this dispatcher, or the
+    vjp recurses at trace time), under the same gate as ``ssim_per_image``.
     """
     if (data_range == 1.0 and kernel_size == 11 and sigma == 1.5
             and k1 == 0.01 and k2 == 0.03 and pred.shape[-1] == 1
@@ -131,6 +132,15 @@ def ssim_parts(pred, target, data_range: float = 1.0,
             return ssim_parts_fused(pred, target)
         except ImportError:
             pass
+    return ssim_parts_xla(pred, target, data_range, kernel_size, sigma,
+                          k1, k2)
+
+
+def ssim_parts_xla(pred, target, data_range: float = 1.0,
+                   kernel_size: int = 11, sigma: float = 1.5,
+                   k1: float = 0.01, k2: float = 0.03):
+    """The pure-XLA formulation (no Pallas dispatch) — the reference
+    implementation the kernels' custom_vjp backwards recompute through."""
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     pad = (kernel_size - 1) // 2
