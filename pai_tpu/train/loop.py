@@ -18,6 +18,7 @@ PyTorch Lightning (configured at ``main.py:113-136``), rebuilt natively.
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Dict, Optional
 
@@ -44,6 +45,30 @@ from pai_tpu.utils.logging import CSVLogger
 IMAGE_SIZE = 256
 IN_CHANNELS = 1
 OUT_CHANNELS = 1
+
+
+class _Progress:
+    """Per-step progress display — the reference shows live loss/metric
+    values via Lightning's ``prog_bar=True`` (``models/wrapper.py:132``);
+    here a stderr line at every 10-step log boundary: inline ``\\r``
+    updates on a TTY, plain lines otherwise (so piped logs stay clean)."""
+
+    def __init__(self):
+        self._open = False
+        self._tty = sys.stderr.isatty()
+
+    def update(self, msg: str) -> None:
+        if self._tty:
+            print("\r[pai_tpu] " + msg, end="", file=sys.stderr, flush=True)
+            self._open = True
+        else:
+            print("[pai_tpu] " + msg, file=sys.stderr, flush=True)
+
+    def close(self) -> None:
+        """End an open inline line before other output takes the terminal."""
+        if self._open:
+            print(file=sys.stderr, flush=True)
+            self._open = False
 
 
 class Trainer:
@@ -193,15 +218,23 @@ class Trainer:
     def validate(self, state, epoch: int) -> Dict[str, float]:
         """Eval-mode pass over the val set.
 
-        Aggregation note (documented deviation): the reference logs
-        torchmetrics batch scalars that Lightning averages per epoch with
-        equal batch weights; here val_ssim/val_psnr are exact means over
-        per-image values and val_rmse is the sqrt of the global MSE — the
-        difference appears only on ragged final batches and is below the
-        1e-3 parity budget."""
+        Aggregation matches the reference exactly: each validation batch
+        logs torchmetrics scalars computed over the WHOLE batch tensor
+        (``models/utils.py:38-47`` with dim=None — batch PSNR/RMSE derive
+        from the batch-mean MSE, not from per-image PSNRs), and Lightning
+        epoch-reduces those logs as a batch-size-weighted mean. So here:
+        batch_mse = mean of per-image MSEs over the batch's valid rows,
+        val_psnr = Σ n_b·10·log10(1/batch_mse_b) / Σ n_b, val_rmse =
+        Σ n_b·sqrt(batch_mse_b) / Σ n_b. val_ssim is the per-image mean,
+        which equals the weighted mean of batch means at equal image
+        sizes — identical to torchmetrics' elementwise-mean reduction."""
+        import math as _math
+
         h = self.hparams
         val_loader = self.val_loader
-        sums = {"ssim": 0.0, "psnr": 0.0, "mse": 0.0}
+        ssim_sum = 0.0
+        psnr_wsum = 0.0
+        rmse_wsum = 0.0
         total = 0
         out_index = 0
         epoch_dir = None
@@ -230,17 +263,19 @@ class Trainer:
                     out_index += 1
             else:
                 _, per_image = self.eval_step(params, stats, batch.x, batch.y)
-            for k in sums:
-                vals = np.asarray(per_image[k])[: batch.n_valid]
-                sums[k] += float(vals.sum())
-            total += batch.n_valid
+            n = batch.n_valid
+            ssim_sum += float(np.asarray(per_image["ssim"])[:n].sum())
+            batch_mse = float(np.asarray(per_image["mse"])[:n].mean())
+            psnr_wsum += n * 10.0 * _math.log10(1.0 / max(batch_mse, 1e-20))
+            rmse_wsum += n * _math.sqrt(batch_mse)
+            total += n
 
         if total == 0:
             return {}
         out = {
-            "val_ssim": sums["ssim"] / total,
-            "val_psnr": sums["psnr"] / total,
-            "val_rmse": float(np.sqrt(sums["mse"] / total)),
+            "val_ssim": ssim_sum / total,
+            "val_psnr": psnr_wsum / total,
+            "val_rmse": rmse_wsum / total,
         }
         return out
 
@@ -305,6 +340,7 @@ class Trainer:
         done = False
         t0 = time.time()
         images_seen = 0
+        progress = _Progress()
 
         profile_dir = h.get("profile_dir")
         profiling = False
@@ -337,6 +373,11 @@ class Trainer:
                 vals = {k: float(v) for k, v in
                         jax.device_get(metrics).items()}
                 self.logger.log_metrics(vals, global_step, epoch)
+                rate = images_seen / max(time.time() - t0, 1e-9)
+                progress.update(
+                    f"epoch {epoch + 1} step {global_step} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
+                    + f" | {rate:.1f} img/s")
                 # failure detection (SURVEY §5: reference has none):
                 # halt on divergence with an emergency checkpoint rather
                 # than burning the remaining epochs on NaNs.
@@ -389,6 +430,7 @@ class Trainer:
                     break
 
             if (epoch + 1) % h["val_epochs"] == 0 and self.val_dataset:
+                progress.close()
                 last_val = self.validate(state, epoch)
                 if last_val:
                     self.logger.log_metrics(last_val, global_step, epoch)
@@ -405,6 +447,7 @@ class Trainer:
             if done:
                 break
 
+        progress.close()
         if profiling:
             jax.profiler.stop_trace()
 

@@ -43,6 +43,9 @@ def _run_clean_subprocess(config, fixture_path):
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+pytestmark = pytest.mark.parity
+
+
 @pytest.mark.parametrize("config,fname,backstop", [
     ("gan", "train_parity_gan.npz", 5e-3),
     ("res18", "train_parity_res18_mse.npz", 5e-3),
