@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pai_tpu.kernels import interpret_enabled
+
 # lse/delta carry one value per row, broadcast across a narrow lane tile.
 # Measured fwd+bwd at T=4096 b2 h4 d64 on v5e: LANES=8 4.70 ms, 128 4.84 ms
 # (16x the residual memory), 1 5.56 ms (1-lane loads are slow) — 8 is the
@@ -99,7 +101,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale: float,
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _fwd_call(q, k, v, emit_lse: bool, interpret: bool):
+def _fwd_call(q, k, v, emit_lse: bool, interpret):
+    if interpret is None:
+        interpret = interpret_enabled()
     b, h, t, d = q.shape
     scale = d ** -0.25
     block_q, block_k = _block_sizes(t, d)
@@ -146,11 +150,11 @@ def _fwd_call(q, k, v, emit_lse: bool, interpret: bool):
     return result.reshape(b, h, t, d)
 
 
-def _flash_forward_with_lse(q, k, v, interpret: bool = False):
+def _flash_forward_with_lse(q, k, v, interpret=None):
     return _fwd_call(q, k, v, emit_lse=True, interpret=interpret)
 
 
-def _flash_forward(q, k, v, interpret: bool = False):
+def _flash_forward(q, k, v, interpret=None):
     """q,k,v: (B, H, T, D) -> (B, H, T, D). No lse residual is written —
     this is the inference/primal path."""
     return _fwd_call(q, k, v, emit_lse=False, interpret=interpret)
@@ -225,7 +229,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, o, lse, g, interpret: bool = False):
+def _flash_backward(q, k, v, o, lse, g, interpret=None):
+    if interpret is None:
+        interpret = interpret_enabled()
     b, h, t, d = q.shape
     scale = d ** -0.25
     block_q, block_k = _block_sizes(t, d)

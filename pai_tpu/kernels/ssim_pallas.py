@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pai_tpu.kernels import interpret_enabled
 from pai_tpu.utils.metrics import (
     _banded_blur_matrix,
     _banded_blur_matrix_reflect,
@@ -122,8 +123,10 @@ def _banded(a, padded_cols):
 
 
 def _fused_forward(pred, target, data_range: float = 1.0,
-                   interpret: bool = False):
+                   interpret=None):
     """pred/target: (N, H, W, 1) -> (per_image [N], full map [N,H,W,1])."""
+    if interpret is None:
+        interpret = interpret_enabled()
     n, h, w, _ = pred.shape
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
@@ -155,8 +158,10 @@ def _fused_forward(pred, target, data_range: float = 1.0,
 
 
 def _scalar_forward(pred, target, data_range: float = 1.0,
-                    interpret: bool = False):
+                    interpret=None):
     """pred/target: (N, H, W, 1) -> per-image interior-mean SSIM [N]."""
+    if interpret is None:
+        interpret = interpret_enabled()
     n, h, w, _ = pred.shape
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2

@@ -24,49 +24,39 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from pai_tpu.parallel.context import get_mesh_context, mesh_context, \
+    set_mesh_context
+
 # Sequences at or above this length take the blockwise path.
 _BLOCKWISE_THRESHOLD = 4096
 _Q_BLOCK = 1024
 _KV_BLOCK = 1024
 
-# Sequence-parallel context (--sp): when set, multihead_attention dispatches
-# to exact ring attention with tokens sharded over the mesh's 'sp' axis.
-_SEQ_MESH = None
-_SEQ_AXIS = "sp"
-
 
 def set_sequence_mesh(mesh, axis: str = "sp") -> None:
     """Install (or clear, with ``mesh=None``) the mesh whose ``axis`` tokens
     are sharded over. The Trainer sets this when ``--sp > 1``; it takes
-    effect at trace time for every subsequent ``multihead_attention``."""
-    global _SEQ_MESH, _SEQ_AXIS
-    _SEQ_MESH = mesh
-    _SEQ_AXIS = axis
+    effect at trace time for every subsequent ``multihead_attention``.
+    (Thin wrapper over :mod:`pai_tpu.parallel.context` — the context is a
+    ContextVar, so concurrent Trainers each see their own.)"""
+    set_mesh_context(mesh, sp_axis=axis if mesh is not None else None)
 
 
-class sequence_parallel:
-    """Context manager form of :func:`set_sequence_mesh` (tests)."""
+class sequence_parallel(mesh_context):
+    """Scoped form of :func:`set_sequence_mesh` (tests)."""
 
     def __init__(self, mesh, axis: str = "sp"):
-        self.mesh, self.axis = mesh, axis
-
-    def __enter__(self):
-        self._prev = (_SEQ_MESH, _SEQ_AXIS)
-        set_sequence_mesh(self.mesh, self.axis)
-
-    def __exit__(self, *exc):
-        set_sequence_mesh(*self._prev)
+        super().__init__(mesh, sp_axis=axis)
 
 
-def _sequence_parallel_attention(q, k, v):
-    """Ring attention over the installed 'sp' mesh axis; batch stays sharded
+def _sequence_parallel_attention(q, k, v, mesh, axis):
+    """Ring attention over the mesh's 'sp' axis; batch stays sharded
     over 'dp' when the mesh has one (each dp group runs its own ring)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from pai_tpu.parallel.ring_attention import ring_attention
 
-    mesh, axis = _SEQ_MESH, _SEQ_AXIS
     b = q.shape[0]
     dp = ("dp" if "dp" in mesh.axis_names and mesh.shape["dp"] > 1
           and b % mesh.shape["dp"] == 0 else None)
@@ -74,7 +64,7 @@ def _sequence_parallel_attention(q, k, v):
     fn = shard_map(
         functools.partial(ring_attention, axis_name=axis),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False)
+        check_vma=False)
     return fn(q, k, v)
 
 
@@ -139,31 +129,59 @@ def _blockwise_attention(q, k, v, q_block: int, kv_block: int):
     return out.transpose(1, 2, 0, 3, 4).reshape(b, h, t, d)
 
 
+def _sharded_flash_attention(q, k, v, mesh):
+    """Per-shard flash kernels on a multi-device mesh: batch over 'dp',
+    heads over 'tp' (both embarrassingly parallel in the kernel's grid).
+    A bare pallas_call carries no GSPMD partitioning spec, so the wrap is
+    what lets dp/tp meshes keep the kernel instead of falling back to the
+    XLA blockwise formulation. Returns None when neither axis divides its
+    dimension (caller falls back)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pai_tpu.kernels.flash_attention import flash_attention
+
+    b, h = q.shape[0], q.shape[1]
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    bspec = "dp" if dp > 1 and b % dp == 0 else None
+    hspec = "tp" if tp > 1 and h % tp == 0 else None
+    if bspec is None and hspec is None:
+        return None
+    spec = P(bspec, hspec, None, None)
+    fn = shard_map(flash_attention, mesh=mesh,
+                   in_specs=(spec, spec, spec), out_specs=spec,
+                   check_vma=False)
+    return fn(q, k, v)
+
+
 def multihead_attention(q, k, v, use_pallas: bool = True):
     """Self-attention over (B, H, T, D) with automatic long-sequence path.
 
     For T >= 4096 dispatches to the Pallas flash kernel on TPU (exact parity
-    with the blockwise XLA path, tested), otherwise uses the blockwise XLA
+    with the blockwise XLA path, tested) — directly on a single chip,
+    wrapped in ``shard_map`` over batch/heads on a dp/tp mesh (installed
+    via :mod:`pai_tpu.parallel.context`). Otherwise the blockwise XLA
     formulation; short sequences use the straightforward full softmax.
     """
     t = q.shape[2]
-    if (_SEQ_MESH is not None and _SEQ_MESH.shape.get(_SEQ_AXIS, 1) > 1
-            and t % _SEQ_MESH.shape[_SEQ_AXIS] == 0):
-        return _sequence_parallel_attention(q, k, v)
+    ctx = get_mesh_context()
+    if (ctx is not None and ctx.sp_axis is not None
+            and ctx.mesh.shape.get(ctx.sp_axis, 1) > 1
+            and t % ctx.mesh.shape[ctx.sp_axis] == 0):
+        return _sequence_parallel_attention(q, k, v, ctx.mesh, ctx.sp_axis)
     if t < _BLOCKWISE_THRESHOLD or t % _KV_BLOCK or t % _Q_BLOCK:
         return _full_attention(q, k, v)
-    # The Pallas path is restricted to single-device processes: a bare
-    # pallas_call inside a GSPMD-partitioned jit carries no partitioning
-    # spec (same gate as metrics.ssim_per_image) — multi-device meshes keep
-    # the blockwise XLA formulation, which GSPMD shards freely.
-    if (use_pallas and jax.default_backend() == "tpu"
-            and jax.device_count() == 1):
-        try:
-            from pai_tpu.kernels.flash_attention import flash_attention
-        except ImportError:
-            flash_attention = None
-        if flash_attention is not None:
-            # call OUTSIDE the try: a real kernel defect must propagate,
-            # not silently fall back to the slow path
-            return flash_attention(q, k, v)
+    if use_pallas:
+        from pai_tpu.kernels import kernels_available
+
+        if kernels_available():
+            if jax.device_count() == 1:
+                from pai_tpu.kernels.flash_attention import flash_attention
+
+                return flash_attention(q, k, v)
+            if ctx is not None and ctx.mesh.size > 1:
+                out = _sharded_flash_attention(q, k, v, ctx.mesh)
+                if out is not None:
+                    return out
     return _blockwise_attention(q, k, v, _Q_BLOCK, _KV_BLOCK)

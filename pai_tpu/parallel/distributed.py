@@ -18,6 +18,15 @@ Launch on a pod: run one process per host with the standard JAX pod env
 (TPU pods auto-configure; elsewhere set ``JAX_COORDINATOR_ADDRESS``,
 ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``) or force with
 ``PAI_TPU_DISTRIBUTED=1``.
+
+Executed evidence: ``tests/test_distributed.py`` runs a REAL 2-process
+cluster (localhost coordinator, 4 virtual CPU devices per process, Gloo
+collectives) through the production ``Trainer.fit()`` and asserts the
+validation metrics match a single-process 8-device run. IO is
+Lightning-style rank-zero (logs, meta, PNGs); orbax checkpoint saves are
+collective (every process enters, process 0 writes). Limitation:
+multi-process ``--fsdp`` is rejected at Trainer init — checkpoints are
+host-materialised, which requires fully-replicated state.
 """
 
 from __future__ import annotations

@@ -65,11 +65,11 @@ def sequence_sharded_attention(mesh, q, k, v, axis_name: str = "sp"):
     """Convenience wrapper: run ring_attention under shard_map with
     (B, H, T, D) inputs sharded over ``axis_name`` on the token axis."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(None, None, axis_name, None)
     fn = shard_map(
         functools.partial(ring_attention, axis_name=axis_name),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False)
+        check_vma=False)
     return fn(q, k, v)

@@ -92,6 +92,15 @@ class Trainer:
 
         self.process_index, self.process_count = \
             maybe_initialize_distributed()
+        # Lightning-style rank-zero IO: in a multi-process pod only process
+        # 0 writes logs/checkpoints/PNGs; compute and collectives still run
+        # on every process.
+        self.is_main = self.process_index == 0
+        if self.process_count > 1 and hparams.get("fsdp"):
+            raise NotImplementedError(
+                "multi-process --fsdp is not supported: checkpoints are "
+                "host-materialised on process 0, which requires fully-"
+                "replicated (non-fsdp) state across the pod")
 
         # Mesh: 'tp' from --tp (tensor parallel, Megatron channel sharding);
         # data-parallel degree = the largest device count that divides the
@@ -123,12 +132,14 @@ class Trainer:
         self.mesh = make_mesh(devices[:dp * self.tp * self.sp],
                               tp=self.tp, sp=self.sp)
         self.batch_shard = batch_sharding(self.mesh)
-        # Ring attention when --sp > 1: diffusion-UNet attention tokens
-        # sharded over the 'sp' axis (exact, ppermute K/V streaming over
-        # ICI). Cleared otherwise — the context is process-global.
-        from pai_tpu.ops import attention as attention_ops
+        # Install the mesh for trace-time op dispatch (ContextVar-scoped):
+        # ring attention when --sp > 1 (exact ppermute K/V streaming over
+        # ICI), and shard_map-wrapped Pallas kernels (flash attention,
+        # fused SSIM) on multi-device dp/tp meshes.
+        from pai_tpu.parallel.context import set_mesh_context
 
-        attention_ops.set_sequence_mesh(self.mesh if self.sp > 1 else None)
+        set_mesh_context(self.mesh,
+                         sp_axis="sp" if self.sp > 1 else None)
 
         # channel counts: 1 for the CLI (grayscale PAI data, main.py:25-101);
         # the class API may override via hparams
@@ -152,10 +163,17 @@ class Trainer:
                 hparams["schedule_type"], 2000, 1e-6, 0.01)
             self.sched_inf = make_schedule("cosine", 100)
 
-        self.logger = CSVLogger(hparams.get("log_dir", "logs"), self.name)
-        self.logger.log_hparams(sanitize_hparams(self.hparams))
+        # non-main processes create no logger (version-dir discovery would
+        # race over the shared filesystem); the checkpoint manager exists
+        # everywhere for the read-only resume path, saves are main-only.
+        self.logger = (CSVLogger(hparams.get("log_dir", "logs"), self.name)
+                       if self.is_main else None)
+        if self.is_main:
+            self.logger.log_hparams(sanitize_hparams(self.hparams))
         self.ckpt = CheckpointManager(
-            hparams.get("ckpt_dir", "checkpoints"), self.name)
+            hparams.get("ckpt_dir", "checkpoints"), self.name,
+            process_index=self.process_index,
+            process_count=self.process_count)
 
         self._build_steps()
 
@@ -209,7 +227,23 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _state_dict(self, state):
-        return serialization.to_state_dict(state)
+        sd = serialization.to_state_dict(state)
+        if self.process_count > 1:
+            # Host-materialise the fully-replicated global arrays so the
+            # process-0 checkpoint write needs no cross-process orbax
+            # collectives (state is replicated on dp meshes; fsdp is
+            # rejected at init in multi-process mode).
+            sd = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), sd)
+        return sd
+
+    def _gather(self, tree):
+        """Fetch possibly dp-sharded per-image arrays as full host values
+        (multi-process: the rows live on other hosts' devices)."""
+        if self.process_count > 1:
+            from jax.experimental import multihost_utils as mhu
+
+            tree = mhu.process_allgather(tree, tiled=True)
+        return jax.tree.map(np.asarray, tree)
 
     def _restore_state(self, template_state, state_dict):
         return serialization.from_state_dict(template_state, state_dict)
@@ -238,7 +272,7 @@ class Trainer:
         total = 0
         out_index = 0
         epoch_dir = None
-        if self.is_palette:
+        if self.is_palette and self.is_main:
             # palette writes its sampled outputs per epoch dir
             # (palette.py:142-167)
             epoch_dir = os.path.join(self.logger.log_dir, str(epoch + 1))
@@ -255,14 +289,17 @@ class Trainer:
                 rng, sub = jax.random.split(rng)
                 y_pred, per_image = self.sample_step(
                     params, stats, batch.x, batch.y, sub)
-                frames = np.asarray(denormalize(y_pred[: batch.n_valid]))
-                for frame in frames:
+                if self.is_main or self.process_count > 1:
+                    frames = self._gather(denormalize(y_pred))
+                for frame in (frames[: batch.n_valid]
+                              if self.is_main else ()):
                     write_png(to_int_np(frame),
                               os.path.join(epoch_dir,
                                            f"output_{out_index}.png"))
                     out_index += 1
             else:
                 _, per_image = self.eval_step(params, stats, batch.x, batch.y)
+            per_image = self._gather(per_image)
             n = batch.n_valid
             ssim_sum += float(np.asarray(per_image["ssim"])[:n].sum())
             batch_mse = float(np.asarray(per_image["mse"])[:n].mean())
@@ -284,14 +321,12 @@ class Trainer:
         try:
             return self._fit()
         finally:
-            if self.sp > 1:
-                # the ring-attention dispatch context is process-global
-                # (ops.attention._SEQ_MESH); clear it so later work in the
-                # same process (class-API predict, reports) does not route
-                # through a stale mesh
-                from pai_tpu.ops import attention as attention_ops
+            # clear the dispatch context so later work in the same
+            # process/task (class-API predict, reports) does not route
+            # through a stale mesh
+            from pai_tpu.parallel.context import set_mesh_context
 
-                attention_ops.set_sequence_mesh(None)
+            set_mesh_context(None)
 
     def _fit(self) -> Dict[str, float]:
         h = self.hparams
@@ -329,8 +364,9 @@ class Trainer:
                     self._restore_state(state, restored), self.mesh,
                     self.tp, self.fsdp)
                 start_epoch = meta["epoch"] + 1
-                print(f"[pai_tpu] resumed from epoch {meta['epoch']} "
-                      f"(step {meta['step']})")
+                if self.is_main:
+                    print(f"[pai_tpu] resumed from epoch {meta['epoch']} "
+                          f"(step {meta['step']})")
             except FileNotFoundError:
                 pass
 
@@ -372,19 +408,21 @@ class Trainer:
                 # fetch and log (only host sync point in the loop)
                 vals = {k: float(v) for k, v in
                         jax.device_get(metrics).items()}
-                self.logger.log_metrics(vals, global_step, epoch)
-                rate = images_seen / max(time.time() - t0, 1e-9)
-                progress.update(
-                    f"epoch {epoch + 1} step {global_step} "
-                    + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
-                    + f" | {rate:.1f} img/s")
+                if self.is_main:
+                    self.logger.log_metrics(vals, global_step, epoch)
+                    rate = images_seen / max(time.time() - t0, 1e-9)
+                    progress.update(
+                        f"epoch {epoch + 1} step {global_step} "
+                        + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
+                        + f" | {rate:.1f} img/s")
                 # failure detection (SURVEY §5: reference has none):
                 # halt on divergence with an emergency checkpoint rather
                 # than burning the remaining epochs on NaNs.
                 if not np.isfinite(vals.get("loss", 0.0)):
-                    self.ckpt.save_last(
-                        self._state_dict(state), sanitize_hparams(h),
-                        global_step, epoch)
+                    # collective: every process enters the orbax save
+                    self.ckpt.save_last(self._state_dict(state),
+                                        sanitize_hparams(h),
+                                        global_step, epoch)
                     raise FloatingPointError(
                         f"non-finite loss at step {global_step} "
                         f"(state saved to last)")
@@ -433,11 +471,15 @@ class Trainer:
                 progress.close()
                 last_val = self.validate(state, epoch)
                 if last_val:
-                    self.logger.log_metrics(last_val, global_step, epoch)
-                    print(f"[pai_tpu] epoch {epoch + 1} step {global_step}: "
-                          + " ".join(f"{k}={v:.4f}"
-                                     for k, v in last_val.items()),
-                          flush=True)
+                    if self.is_main:
+                        self.logger.log_metrics(last_val, global_step, epoch)
+                        print(f"[pai_tpu] epoch {epoch + 1} "
+                              f"step {global_step}: "
+                              + " ".join(f"{k}={v:.4f}"
+                                         for k, v in last_val.items()),
+                              flush=True)
+                    # collective saves: metrics are replicated, so every
+                    # process reaches the same maybe_save_best decision
                     sd = self._state_dict(state)
                     hp = sanitize_hparams(h)
                     self.ckpt.maybe_save_best(
@@ -451,7 +493,7 @@ class Trainer:
         if profiling:
             jax.profiler.stop_trace()
 
-        # end-of-fit: persist final state as last
+        # end-of-fit: persist final state as last (collective save)
         self.ckpt.save_last(self._state_dict(state), sanitize_hparams(h),
                             global_step, epoch,
                             last_val.get("val_ssim"))

@@ -28,14 +28,33 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, root: str, name: str):
+    """``process_count > 1`` (multi-host pod): saves become COLLECTIVE —
+    orbax's checkpointer runs cross-process sync barriers internally, so
+    every process must enter ``_save`` together; process 0 alone touches
+    the filesystem around it (tmp cleanup, meta.yaml, atomic slot swap),
+    fenced by explicit barriers."""
+
+    def __init__(self, root: str, name: str,
+                 process_index: int = 0, process_count: int = 1):
         self.dir = os.path.abspath(os.path.join(root, name))
+        self.process_index = process_index
+        self.process_count = process_count
+        self.is_main = process_index == 0
         os.makedirs(self.dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._barrier_seq = 0
         self.best_value: Optional[float] = None
         best_meta = self._read_meta("best")
         if best_meta:
             self.best_value = best_meta.get("monitor_value")
+
+    def _barrier(self, tag: str) -> None:
+        if self.process_count > 1:
+            from jax.experimental import multihost_utils as mhu
+
+            self._barrier_seq += 1
+            mhu.sync_global_devices(
+                f"pai_tpu_ckpt_{tag}_{self._barrier_seq}")
 
     # -- paths ------------------------------------------------------------
     def _slot(self, which: str) -> str:
@@ -52,15 +71,18 @@ class CheckpointManager:
     def _save(self, which: str, state, meta: Dict) -> None:
         slot = self._slot(which)
         tmp = slot + ".tmp"
-        if os.path.exists(tmp):
+        if self.is_main and os.path.exists(tmp):
             shutil.rmtree(tmp)
+        self._barrier("clean")  # tmp is gone before anyone writes into it
         self._ckptr.save(os.path.join(tmp, "state"), state)
         self._ckptr.wait_until_finished()
-        with open(os.path.join(tmp, "meta.yaml"), "w") as f:
-            yaml.safe_dump(meta, f)
-        if os.path.exists(slot):
-            shutil.rmtree(slot)
-        os.rename(tmp, slot)
+        if self.is_main:
+            with open(os.path.join(tmp, "meta.yaml"), "w") as f:
+                yaml.safe_dump(meta, f)
+            if os.path.exists(slot):
+                shutil.rmtree(slot)
+            os.rename(tmp, slot)
+        self._barrier("swap")  # slot is live before anyone moves on
 
     def save_last(self, state, hparams: Dict, step: int, epoch: int,
                   monitor_value: Optional[float] = None) -> None:

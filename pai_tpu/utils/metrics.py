@@ -105,6 +105,43 @@ def _gaussian_blur_valid(x, kernel_size: int = 11, sigma: float = 1.5):
     return x
 
 
+def _fused_kernel_dispatch(pred, target, fn, want_map: bool):
+    """Route (pred, target) -> fn (a fused Pallas SSIM kernel) when it can
+    execute here, else return None and the caller keeps the XLA path.
+
+    * single-device process: call the kernel directly (the bench path).
+    * multi-device mesh (installed via ``pai_tpu.parallel.context``): wrap
+      in ``shard_map`` over the batch/'dp' axis — a bare pallas_call
+      carries no GSPMD partitioning spec, so the wrap is what lets dp
+      meshes keep the kernel's measured win instead of falling back to
+      the XLA formulation. The kernel grid is per-image, so per-shard
+      calls compose with no cross-device traffic.
+    """
+    from pai_tpu.kernels import kernels_available
+
+    if not kernels_available():
+        return None
+    if jax.device_count() == 1:
+        return fn(pred, target)
+    from pai_tpu.parallel.context import get_mesh_context
+
+    ctx = get_mesh_context()
+    if ctx is None:
+        return None
+    dp = ctx.mesh.shape.get("dp", 1)
+    n = pred.shape[0]
+    if dp <= 1 or n % dp:
+        return None  # batch unshardable: XLA path shards fine under GSPMD
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    in_spec = P("dp", None, None, None)
+    out_spec = (P("dp"), P("dp", None, None, None)) if want_map else P("dp")
+    sharded = shard_map(fn, mesh=ctx.mesh, in_specs=(in_spec, in_spec),
+                        out_specs=out_spec, check_vma=False)
+    return sharded(pred, target)
+
+
 def ssim_parts(pred, target, data_range: float = 1.0,
                kernel_size: int = 11, sigma: float = 1.5,
                k1: float = 0.01, k2: float = 0.03):
@@ -114,24 +151,23 @@ def ssim_parts(pred, target, data_range: float = 1.0,
     Gaussian windows over the five moment maps, similarity map at full
     resolution, scalar = mean over the map cropped by the pad on every side.
 
-    On a single-device TPU process with default constants this dispatches
-    to the fused Pallas pair kernel (reflect padding folded into the banded
-    blur matrices — no padded copies; gradients recompute through
-    ``ssim_parts_xla`` below via its custom_vjp — the kernel's backward
-    MUST target the XLA function directly, never this dispatcher, or the
-    vjp recurses at trace time), under the same gate as ``ssim_per_image``.
+    With default constants this dispatches to the fused Pallas pair kernel
+    (reflect padding folded into the banded blur matrices — no padded
+    copies; gradients recompute through ``ssim_parts_xla`` below via its
+    custom_vjp — the kernel's backward MUST target the XLA function
+    directly, never this dispatcher, or the vjp recurses at trace time):
+    directly on a single chip, sharded over 'dp' via ``shard_map`` on a
+    multi-device mesh (see ``_fused_kernel_dispatch``).
     """
     if (data_range == 1.0 and kernel_size == 11 and sigma == 1.5
             and k1 == 0.01 and k2 == 0.03 and pred.shape[-1] == 1
-            and pred.shape[1] > 2 * 5 and pred.shape[2] > 2 * 5
-            and jax.default_backend() == "tpu"
-            and jax.device_count() == 1):
-        try:
-            from pai_tpu.kernels.ssim_pallas import ssim_parts_fused
+            and pred.shape[1] > 2 * 5 and pred.shape[2] > 2 * 5):
+        from pai_tpu.kernels.ssim_pallas import ssim_parts_fused
 
-            return ssim_parts_fused(pred, target)
-        except ImportError:
-            pass
+        out = _fused_kernel_dispatch(pred, target, ssim_parts_fused,
+                                     want_map=True)
+        if out is not None:
+            return out
     return ssim_parts_xla(pred, target, data_range, kernel_size, sigma,
                           k1, k2)
 
@@ -179,22 +215,18 @@ def ssim_per_image(pred, target, data_range: float = 1.0):
     whenever the full map is needed, the XLA formulation below is the
     reference.
 
-    The Pallas path is restricted to single-device processes: inside a
-    GSPMD-partitioned jit (dp/tp/sp meshes) a bare pallas_call carries no
-    partitioning spec, so the multi-device steps keep the XLA formulation
-    (which GSPMD shards like any other op)."""
+    On a multi-device mesh (installed via ``pai_tpu.parallel.context``)
+    the kernel is wrapped in ``shard_map`` over the 'dp' batch axis, so
+    dp/tp training steps keep the fused kernel too (see
+    ``_fused_kernel_dispatch``)."""
     if (data_range == 1.0 and pred.shape[-1] == 1
-            and pred.shape[1] > 2 * 5 and pred.shape[2] > 2 * 5
-            and jax.default_backend() == "tpu"
-            and jax.device_count() == 1):
-        try:
-            from pai_tpu.kernels.ssim_pallas import ssim_per_image_fused
-        except ImportError:
-            ssim_per_image_fused = None
-        if ssim_per_image_fused is not None:
-            # call outside the try: a real kernel defect must propagate,
-            # not silently fall back to the slow path
-            return ssim_per_image_fused(pred, target)
+            and pred.shape[1] > 2 * 5 and pred.shape[2] > 2 * 5):
+        from pai_tpu.kernels.ssim_pallas import ssim_per_image_fused
+
+        out = _fused_kernel_dispatch(pred, target, ssim_per_image_fused,
+                                     want_map=False)
+        if out is not None:
+            return out
     per_image, _ = ssim_parts(pred, target, data_range)
     return per_image
 

@@ -1,0 +1,73 @@
+"""Worker process for the real 2-process distributed execution test
+(``tests/test_distributed.py``). Not collected by pytest.
+
+Each of the two worker processes owns 4 virtual CPU devices; together
+they form one 8-device 'dp' mesh via ``jax.distributed.initialize`` with
+a localhost coordinator — the CPU analogue of one process per TPU host
+on a pod slice (SURVEY §2.5; the reference has no distributed execution,
+absence anchored at /root/reference/main.py:123-135). The Trainer then
+runs its production fit(): per-host batch rows through ``BatchLoader`` /
+``jax.make_array_from_process_local_data``, cross-process gradient psum
+by GSPMD, rank-0-only logging/checkpointing, allgathered validation.
+
+Usage: python distributed_worker.py <port> <process_id> <workdir>
+Writes <workdir>/summary_<pid>.json with the fit() summary + the logged
+training losses.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    port, pid, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    import jax
+
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=pid)
+    jax.config.update("jax_platforms", "cpu")
+
+    from pai_tpu.train.loop import Trainer
+
+    hparams = {
+        "name": "dist2p",
+        "model": "pix2pix",
+        "data": os.path.join(workdir, "train.yaml"),
+        "val_data": os.path.join(workdir, "val.yaml"),
+        "epochs": 2,
+        "steps": -1,
+        "batch_size": 8,
+        "val_epochs": 2,
+        "precision": "32",
+        "ema": False,
+        "channel_mults": "1,2",
+        "attention_res": "8,4,2",
+        "dropout": 0.0,
+        "loss_type": "gan",
+        "seed": 0,
+        "log_dir": os.path.join(workdir, "logs"),
+        "ckpt_dir": os.path.join(workdir, "ckpts"),
+    }
+    trainer = Trainer(hparams, image_size=32)
+    assert trainer.process_count == 2, trainer.process_count
+    assert trainer.mesh.shape["dp"] == 8, dict(trainer.mesh.shape)
+    summary = trainer.fit()
+
+    losses = None
+    if pid == 0:
+        import csv
+
+        with open(os.path.join(trainer.logger.log_dir, "metrics.csv")) as f:
+            rows = list(csv.DictReader(f))
+        losses = [float(r["loss"]) for r in rows if r.get("loss")]
+    with open(os.path.join(workdir, f"summary_{pid}.json"), "w") as f:
+        json.dump({"summary": summary, "losses": losses}, f)
+    print(f"[worker {pid}] ok {summary}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
