@@ -34,6 +34,13 @@ NORTH_STAR_TARGET = 2.0 * A100_REFERENCE_IMG_S
 
 IMAGE = 256
 TIMED_STEPS = 20
+HEADLINE_REPEATS = 3
+
+# The ~550 img/s A100 estimate is a utilisation guess, not a measurement
+# (no A100 in this environment). Band: 55-65 TFLOP/s sustained conv TF32
+# spans ~870-1030 img/s compute-bound; eager-mode/dataloader overhead
+# plausibly costs 20-50% -> 450-700 img/s reference range.
+A100_ESTIMATE_BAND = (450.0, 700.0)
 
 
 def bench_pix2pix_train(batch, dtype):
@@ -65,13 +72,20 @@ def bench_pix2pix_train(batch, dtype):
     state, metrics = full(state, x, y, rng)
     float(metrics["loss"])  # host readback: forces real device completion
 
-    t0 = time.perf_counter()
-    for _ in range(TIMED_STEPS // 10):
-        state, _ = scan9(state, xs, ys, rng)
-        state, metrics = full(state, x, y, rng)
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
-    return batch * TIMED_STEPS / dt
+    # Repeated timed passes over the same compiled executables: the spread
+    # bounds run-to-run noise on the shared remote-tunnel TPU (VERDICT r2
+    # weak #6 — a single shot can't distinguish a 7% round-over-round gain
+    # from scheduler jitter).
+    vals = []
+    for _ in range(HEADLINE_REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(TIMED_STEPS // 10):
+            state, _ = scan9(state, xs, ys, rng)
+            state, metrics = full(state, x, y, rng)
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        vals.append(batch * TIMED_STEPS / dt)
+    return vals
 
 
 def bench_pix2pix_sample(batch, dtype):
@@ -214,20 +228,30 @@ def main():
 
     # Measured-best batches on one v5e chip (16 GB HBM); the backoff keeps
     # the harness correct on smaller devices.
-    train_bf16, train_batch = _with_batch_backoff(
+    train_vals, train_batch = _with_batch_backoff(
         lambda b: bench_pix2pix_train(b, jnp.bfloat16), (256, 128, 64))
+    train_bf16 = sorted(train_vals)[len(train_vals) // 2]  # median
     _release_config_memory()
     sample_ips = bench_pix2pix_sample(128, jnp.bfloat16)
     _release_config_memory()
+    lo_t, hi_t = (2.0 * A100_ESTIMATE_BAND[0], 2.0 * A100_ESTIMATE_BAND[1])
     result = {
         "metric": "pix2pix_256_gan_train_images_per_sec_per_chip",
         "value": round(train_bf16, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(train_bf16 / NORTH_STAR_TARGET, 3),
+        "value_repeats": HEADLINE_REPEATS,
+        "value_spread": [round(min(train_vals), 2), round(max(train_vals), 2)],
         "sample_images_per_sec": round(sample_ips, 2),
         "batch": train_batch,
         "precision": "bf16",
         "baseline_note": "vs_baseline = value / (2 x ~550 img/s A100 est)",
+        "baseline_uncertainty": {
+            "a100_estimate_img_s": [A100_ESTIMATE_BAND[0],
+                                    A100_ESTIMATE_BAND[1]],
+            "vs_baseline_range": [round(train_bf16 / hi_t, 3),
+                                  round(train_bf16 / lo_t, 3)],
+        },
         "backend": jax.default_backend(),
     }
     if not os.environ.get("BENCH_FAST"):

