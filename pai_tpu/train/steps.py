@@ -133,6 +133,22 @@ def make_gan_train_step(generator, discriminator, loss_type: str,
         # has_aux=True: the updated batch_stats ride along undifferentiated.
         pred, g_vjp, new_gstats = jax.vjp(
             g_forward, state.g_params, has_aux=True)
+        if loss_type == "gan" and state.g_stats:
+            # The reference's GAN step runs the generator forward TWICE
+            # (D phase wrapper.py:126, G phase wrapper.py:147) with
+            # identical weights and batch, so every BatchNorm running stat
+            # takes TWO EMA updates toward the same batch statistics.
+            # Compose the second update in closed form: with torch momentum
+            # m=0.1, s1 = (1-m)·s0 + m·b  ⇒  s2 = (2-m)·s1 − (1-m)·s0.
+            # Exact when the two forwards see the same batch statistics
+            # (always, except downstream of an active dropout layer whose
+            # two masks differ — the CLI default is dropout 0.0). At long
+            # horizons the EMA converges and this is invisible; at short
+            # horizons (e.g. the 50-step 256² parity tier) the stats-lag
+            # difference is a systematic val-forward offset.
+            new_gstats = jax.tree.map(
+                lambda s1, s0: 1.9 * s1 - 0.9 * s0,
+                new_gstats, state.g_stats)
         aux_metrics = {}
 
         new_d_params, new_d_opt = state.d_params, state.d_opt

@@ -246,7 +246,28 @@ def _build_wrapper(model_name, loss_type):
     return wrapper, manifest
 
 
-def _train_and_eval(wrapper, perturb=0.0):
+def _train_and_eval(wrapper, perturb=0.0, perstep=0.0, perstep_seed=4243,
+                    perstep_mode="noise"):
+    """Train the reference wrapper and evaluate.
+
+    perturb: ONE-TIME relative-scale weight perturbation before training —
+    the round-2 control (trajectory sensitivity to a single disturbance).
+    perstep: CONTINUOUS injection — after EVERY optimizer step each
+    parameter gains gaussian noise of std ``perstep * rms(p)``. This models
+    what a cross-framework f32 comparison actually is: both sides compute
+    the same math through different reduction orders / conv algorithms, so
+    their trajectories are re-separated every step at float-noise scale.
+    The amplitude is MEASURED, not tuned: tools/step_noise_probe.py runs one
+    production training step in both frameworks from identical weights and
+    reports the post-step global rms-relative parameter deviation.
+
+    perstep_mode: "noise" draws FRESH gaussian noise each step (iid model —
+    a contractive descent damps it; lower bracket of the disturbance).
+    "bias" draws ONE fixed direction up front and injects it every step
+    (fully systematic model — e.g. a conv-algorithm difference whose error
+    correlates with the weights persists across steps; upper bracket).
+    The true cross-framework disturbance lies between the two.
+    """
     import torch
 
     if perturb:
@@ -254,6 +275,30 @@ def _train_and_eval(wrapper, perturb=0.0):
         with torch.no_grad():
             for p in wrapper.parameters():
                 p.add_(perturb * torch.randn(p.shape, generator=g))
+    gps = torch.Generator().manual_seed(perstep_seed)
+    bias_dirs = None
+    if perstep and perstep_mode == "bias":
+        bias_dirs = [torch.randn(p.shape, generator=gps)
+                     for p in wrapper.parameters()]
+    if perstep and perstep_mode == "grad":
+        # Inject the measured BACKWARD-pass noise where it actually enters:
+        # after every manual_backward, each gradient tensor gains gaussian
+        # noise of std eps*rms(g). Unlike random parameter-space directions
+        # (mostly orthogonal to the functionally relevant subspace), noise
+        # in the gradients propagates through Adam and the training
+        # dynamics exactly like the cross-framework backward deviation.
+        orig_mb = wrapper.manual_backward
+
+        def noisy_mb(loss, *a, **k):
+            orig_mb(loss, *a, **k)
+            with torch.no_grad():
+                for p in wrapper.parameters():
+                    if p.grad is not None and p.requires_grad:
+                        grms = float(p.grad.pow(2).mean().sqrt())
+                        p.grad.add_(perstep * grms *
+                                    torch.randn(p.shape, generator=gps))
+
+        wrapper.manual_backward = noisy_mb
 
     opts = wrapper.configure_optimizers()
     wrapper._opts = list(opts) if isinstance(opts, (list, tuple)) else [opts]
@@ -267,6 +312,13 @@ def _train_and_eval(wrapper, perturb=0.0):
         x = torch.from_numpy(tx[b * BATCH:(b + 1) * BATCH])
         y = torch.from_numpy(ty[b * BATCH:(b + 1) * BATCH])
         wrapper.training_step((x, y), step)
+        if perstep:
+            with torch.no_grad():
+                for i, p in enumerate(wrapper.parameters()):
+                    rms = float(p.pow(2).mean().sqrt())
+                    d = bias_dirs[i] if bias_dirs is not None else \
+                        torch.randn(p.shape, generator=gps)
+                    p.add_(perstep * rms * d)
         # the logged training loss — no extra forward (a no_grad forward in
         # train mode would still advance BN running stats and break parity)
         losses.append(wrapper._logged["loss"])
@@ -283,16 +335,108 @@ def _train_and_eval(wrapper, perturb=0.0):
     return losses, val_ssim, val_psnr
 
 
-def run_config(model_name, loss_type, fname):
+# Per-step injection amplitudes for the 256² controls, MEASURED by
+# tools/step_noise_probe.py: ||p_jax - p_torch|| / ||p_torch|| over the
+# concatenated parameter vector after ONE identical-weights
+# identical-batch production training step in each framework. Mechanism
+# (not a semantic difference — single conv ops agree to ~3e-7): f32
+# reduction-order noise compounds through the deep normalized conv stacks
+# (res18's step-0 LOSS already differs by 2.5e-4 rel vs pix2pix's 1.3e-6
+# — many more full-res conv+BN layers), and Adam's first-step
+# normalization g/(|g|+1e-7) ≈ sign(g) flips every parameter whose
+# gradient sits below the noise — each flip is a full ±lr (2e-4) update
+# deviation. Re-run the probe to refresh; recorded 2026-08-17 (torch-2.x
+# CPU / jax CPU).
+PER_STEP_EPS = {
+    "pix2pix": 6.6e-5,        # probe config: gan
+    "res18_unet": 3.6e-4,     # probe config: res18
+    "attention_unet": 1.7e-4,  # probe config: attention
+    "trans_unet": 4.0e-4,     # probe config: trans
+}
+
+# Backward-pass (gradient-level) relative deviation, same probe
+# (``grad_rel``): ||g_jax − g_torch|| / ||g_torch|| for one identical
+# forward+MSE-loss+backward at the deterministic init. The `grad` control
+# injects noise of this amplitude into every gradient after every
+# manual_backward — modelling the disturbance where it actually enters.
+# Measured 2026-08-17. The spread tracks CONV DEPTH of the full-res chain
+# — backward float noise amplifies exponentially through deep normalized
+# stacks at init (res18's 15+ conv chain reaches 14%; the per-tensor
+# deviation concentrates on the stem/first-level kernels). Not a semantic
+# difference: single ops agree to ~3e-7 and maxpool tie-routing was
+# verified identical.
+GRAD_EPS = {
+    "pix2pix": 1.0e-4,
+    "res18_unet": 1.4e-1,
+    "attention_unet": 1.5e-4,
+    "trans_unet": 1.7e-3,
+}
+
+
+def run_config(model_name, loss_type, fname, patch=None):
+    if patch:
+        # Add one control family to an already-written fixture without
+        # re-training the (deterministic, unchanged) head-to-head.
+        # patch="bias": coherent parameter-space direction (seed 7331);
+        # patch="grad": backward-pass noise at the probe's measured
+        # gradient deviation (seed 8191).
+        path = os.path.join(FIXDIR, fname)
+        z = {k: v for k, v in np.load(path).items()}
+        eps = (GRAD_EPS if patch == "grad" else PER_STEP_EPS)[model_name]
+        seed = {"bias": 7331, "grad": 8191}[patch]
+        wrapper_b, _ = _build_wrapper(model_name, loss_type)
+        _, bs, bp = _train_and_eval(wrapper_b, perstep=eps,
+                                    perstep_seed=seed, perstep_mode=patch)
+        z[f"ctl_{patch}_ssim"] = np.asarray([bs], np.float32)
+        z[f"ctl_{patch}_psnr"] = np.asarray([bp], np.float32)
+        if patch == "grad":
+            z["grad_eps"] = np.float32(eps)
+        np.savez_compressed(path, **z)
+        print(f"patched {path}: {patch} control "
+              f"dssim {abs(bs - float(z['val_ssim'])):.2e} "
+              f"dpsnr {abs(bp - float(z['val_psnr'])):.2e}")
+        return
+
     wrapper, manifest = _build_wrapper(model_name, loss_type)
     losses, val_ssim, val_psnr = _train_and_eval(wrapper)
 
-    # Control: the reference vs ITSELF from weights perturbed by 1e-6
-    # noise. The (control - reference) spread measures pure trajectory
-    # sensitivity over STEPS optimizer steps — the noise floor any
-    # cross-framework f32 comparison sits on.
+    # Control A: the reference vs ITSELF from weights perturbed ONCE by
+    # 1e-6 noise — pure trajectory sensitivity to a single disturbance.
     wrapper_c, _ = _build_wrapper(model_name, loss_type)
     _, ctl_ssim, ctl_psnr = _train_and_eval(wrapper_c, perturb=1e-6)
+
+    extra = {}
+    eps = PER_STEP_EPS.get(model_name) if SCALE_SUFFIX else None
+    if eps:
+        # Control B (256² tier): CONTINUOUS per-step injection at the
+        # measured cross-framework single-step amplitude (two independent
+        # draws — the floor any continuous-noise comparison sits on).
+        ps_ssim, ps_psnr = [], []
+        for seed in (4243, 9973):
+            wrapper_p, _ = _build_wrapper(model_name, loss_type)
+            _, s, p = _train_and_eval(wrapper_p, perstep=eps,
+                                      perstep_seed=seed)
+            ps_ssim.append(s)
+            ps_psnr.append(p)
+        # ...the coherent-bias bracket (fixed parameter-space direction)...
+        wrapper_b, _ = _build_wrapper(model_name, loss_type)
+        _, bs, bp = _train_and_eval(wrapper_b, perstep=eps,
+                                    perstep_seed=7331, perstep_mode="bias")
+        extra = {"perstep_eps": np.float32(eps),
+                 "ctl_ps_ssim": np.asarray(ps_ssim, np.float32),
+                 "ctl_ps_psnr": np.asarray(ps_psnr, np.float32),
+                 "ctl_bias_ssim": np.asarray([bs], np.float32),
+                 "ctl_bias_psnr": np.asarray([bp], np.float32)}
+        # ...and the mechanistic gradient-noise control.
+        geps = GRAD_EPS.get(model_name)
+        if geps:
+            wrapper_g, _ = _build_wrapper(model_name, loss_type)
+            _, gs_, gp_ = _train_and_eval(wrapper_g, perstep=geps,
+                                          perstep_seed=8191,
+                                          perstep_mode="grad")
+            extra.update(grad_eps=np.float32(geps),
+                         ctl_grad_ssim=np.asarray([gs_], np.float32),
+                         ctl_grad_psnr=np.asarray([gp_], np.float32))
 
     path = os.path.join(FIXDIR, fname)
     np.savez_compressed(
@@ -300,12 +444,16 @@ def run_config(model_name, loss_type, fname):
         losses=np.asarray(losses, np.float32),
         val_ssim=np.float32(val_ssim), val_psnr=np.float32(val_psnr),
         control_ssim=np.float32(ctl_ssim), control_psnr=np.float32(ctl_psnr),
-        steps=np.int32(STEPS))
-    print(f"wrote {path}: {model_name}/{loss_type} {STEPS} steps "
-          f"val_ssim={val_ssim:.6f} val_psnr={val_psnr:.4f} "
-          f"(control dssim {abs(ctl_ssim - val_ssim):.2e} "
-          f"dpsnr {abs(ctl_psnr - val_psnr):.2e}) "
-          f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+        steps=np.int32(STEPS), **extra)
+    msg = (f"wrote {path}: {model_name}/{loss_type} {STEPS} steps "
+           f"val_ssim={val_ssim:.6f} val_psnr={val_psnr:.4f} "
+           f"(control dssim {abs(ctl_ssim - val_ssim):.2e} "
+           f"dpsnr {abs(ctl_psnr - val_psnr):.2e}) "
+           f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+    if extra:
+        ps_dssim = [abs(s - val_ssim) for s in extra["ctl_ps_ssim"]]
+        msg += f" perstep(eps={eps:.2e}) dssim={['%.2e' % d for d in ps_dssim]}"
+    print(msg)
 
 
 class _RandTap:
@@ -434,21 +582,30 @@ def main():
     _lightning_manual_stub()
     os.makedirs(FIXDIR, exist_ok=True)
     only = set(sys.argv[1:])  # e.g. `python tools/train_parity.py trans`
+    patch = None  # --add-bias / --add-grad: patch one control family in
+    for flag, mode in (("--add-bias", "bias"), ("--add-grad", "grad")):
+        if flag in only:
+            patch = mode
+            only.discard(flag)
 
     def want(tag):
         return not only or tag in only
 
     if want("gan"):
-        run_config("pix2pix", "gan", f"train_parity_gan{SCALE_SUFFIX}.npz")
+        run_config("pix2pix", "gan", f"train_parity_gan{SCALE_SUFFIX}.npz",
+                   patch=patch)
     if want("res18"):
         run_config("res18_unet", "mse",
-                   f"train_parity_res18_mse{SCALE_SUFFIX}.npz")
+                   f"train_parity_res18_mse{SCALE_SUFFIX}.npz",
+                   patch=patch)
     if want("attention"):
         run_config("attention_unet", "ssim+psnr",
-                   f"train_parity_attention_ssim_psnr{SCALE_SUFFIX}.npz")
+                   f"train_parity_attention_ssim_psnr{SCALE_SUFFIX}.npz",
+                   patch=patch)
     if want("trans"):
         run_config("trans_unet", "mse",
-                   f"train_parity_trans_mse{SCALE_SUFFIX}.npz")
+                   f"train_parity_trans_mse{SCALE_SUFFIX}.npz",
+                   patch=patch)
     if want("palette") and not SCALE_SUFFIX:
         # palette's 256² weight-level evidence is the sampler pin
         # (tools/sampler_parity.py) — a 256² palette double-train with
