@@ -235,3 +235,45 @@ def test_scan_steps_must_divide_cadence(tmp_path, synthetic_manifest):
     train, val = synthetic_manifest
     with pytest.raises(ValueError, match="scan-steps"):
         fit(_hparams(tmp_path, train, val, name="bad", scan_steps=3))
+
+
+def test_gan_step_batch_stats_match_reference_double_forward():
+    """The GAN step applies the reference's TWO BatchNorm running-stat EMA
+    updates per step (wrapper.py:126 + wrapper.py:147 both forward the
+    generator) in closed form from ONE forward (steps.py). The closed form
+    s2 = 1.9*s1 - 0.9*s0 must equal the literal sequential double update —
+    exact because both forwards normalise with the same batch statistics."""
+    import jax
+    import jax.numpy as jnp
+
+    from pai_tpu.models import Discriminator, build_generator
+    from pai_tpu.train import steps as steps_lib
+
+    gen = build_generator("pix2pix", channel_mults=(1, 2))
+    disc = Discriminator()
+    state = steps_lib.init_gan_state(
+        gen, disc, jax.random.key(0), (4, 32, 32, 1), "gan", False)
+    kx, ky = jax.random.split(jax.random.key(1))
+    x = jax.random.normal(kx, (4, 32, 32, 1), jnp.float32)
+    y = jax.random.normal(ky, (4, 32, 32, 1), jnp.float32)
+
+    step = jax.jit(steps_lib.make_gan_train_step(
+        gen, disc, "gan", compute_metrics=False))
+    new_state, _ = step(state, x, y, jax.random.key(2))
+
+    # Literal reference semantics: two sequential mutable-stat forwards.
+    rng_dropout = jax.random.fold_in(jax.random.key(2), state.step)
+    stats = state.g_stats
+    for _ in range(2):
+        _, mutated = gen.apply(
+            {"params": state.g_params, "batch_stats": stats},
+            x, train=True, rngs={"dropout": rng_dropout},
+            mutable=["batch_stats"])
+        stats = mutated["batch_stats"]
+
+    leaves_closed = jax.tree.leaves(new_state.g_stats)
+    leaves_literal = jax.tree.leaves(stats)
+    assert leaves_closed and len(leaves_closed) == len(leaves_literal)
+    for a, b in zip(leaves_closed, leaves_literal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
