@@ -176,12 +176,17 @@ def multihead_attention(q, k, v, use_pallas: bool = True):
         from pai_tpu.kernels import kernels_available
 
         if kernels_available():
-            if jax.device_count() == 1:
+            try:
                 from pai_tpu.kernels.flash_attention import flash_attention
-
-                return flash_attention(q, k, v)
-            if ctx is not None and ctx.mesh.size > 1:
-                out = _sharded_flash_attention(q, k, v, ctx.mesh)
-                if out is not None:
-                    return out
+            except ImportError:
+                flash_attention = None  # pallas module absent: XLA fallback
+            if flash_attention is not None:
+                # kernel calls stay OUTSIDE the try: a real kernel defect
+                # must propagate, not silently fall back to the slow path
+                if jax.device_count() == 1:
+                    return flash_attention(q, k, v)
+                if ctx is not None and ctx.mesh.size > 1:
+                    out = _sharded_flash_attention(q, k, v, ctx.mesh)
+                    if out is not None:
+                        return out
     return _blockwise_attention(q, k, v, _Q_BLOCK, _KV_BLOCK)

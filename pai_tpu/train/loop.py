@@ -272,13 +272,16 @@ class Trainer:
         total = 0
         out_index = 0
         epoch_dir = None
-        if self.is_palette and self.is_main:
-            # palette writes its sampled outputs per epoch dir
-            # (palette.py:142-167)
-            epoch_dir = os.path.join(self.logger.log_dir, str(epoch + 1))
-            os.makedirs(epoch_dir, exist_ok=True)
+        if self.is_palette:
             params = steps_lib.palette_eval_params(state)
             stats = state.stats
+            if self.is_main:
+                # palette writes its sampled outputs per epoch dir
+                # (palette.py:142-167); IO is rank-0-only, the param/stat
+                # selection above must run on EVERY process (non-main
+                # processes still join the sampling collectives)
+                epoch_dir = os.path.join(self.logger.log_dir, str(epoch + 1))
+                os.makedirs(epoch_dir, exist_ok=True)
         else:
             params = steps_lib.gan_eval_params(state)
             stats = state.g_stats
@@ -289,14 +292,15 @@ class Trainer:
                 rng, sub = jax.random.split(rng)
                 y_pred, per_image = self.sample_step(
                     params, stats, batch.x, batch.y, sub)
-                if self.is_main or self.process_count > 1:
-                    frames = self._gather(denormalize(y_pred))
-                for frame in (frames[: batch.n_valid]
-                              if self.is_main else ()):
-                    write_png(to_int_np(frame),
-                              os.path.join(epoch_dir,
-                                           f"output_{out_index}.png"))
-                    out_index += 1
+                # gather on every process (collective in multi-process
+                # mode); only rank 0 writes the PNGs
+                frames = self._gather(denormalize(y_pred))
+                if self.is_main:
+                    for frame in frames[: batch.n_valid]:
+                        write_png(to_int_np(frame),
+                                  os.path.join(epoch_dir,
+                                               f"output_{out_index}.png"))
+                        out_index += 1
             else:
                 _, per_image = self.eval_step(params, stats, batch.x, batch.y)
             per_image = self._gather(per_image)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import optax
 
 from pai_tpu.diffusion import DiffusionSchedule, q_sample, vlb_term, ddpm_sample
+from pai_tpu.ops import layers
 from pai_tpu.train import losses
 from pai_tpu.train.ema import EmaState, init_ema, update_ema
 from pai_tpu.train.state import (
@@ -139,15 +140,18 @@ def make_gan_train_step(generator, discriminator, loss_type: str,
             # identical weights and batch, so every BatchNorm running stat
             # takes TWO EMA updates toward the same batch statistics.
             # Compose the second update in closed form: with torch momentum
-            # m=0.1, s1 = (1-m)·s0 + m·b  ⇒  s2 = (2-m)·s1 − (1-m)·s0.
-            # Exact when the two forwards see the same batch statistics
-            # (always, except downstream of an active dropout layer whose
-            # two masks differ — the CLI default is dropout 0.0). At long
-            # horizons the EMA converges and this is invisible; at short
-            # horizons (e.g. the 50-step 256² parity tier) the stats-lag
-            # difference is a systematic val-forward offset.
+            # m (flax decay d = 1-m), s1 = d·s0 + m·b  ⇒  s2 = (1+d)·s1 −
+            # d·s0. Exact when the two forwards see the same batch
+            # statistics (always, except downstream of an active dropout
+            # layer whose two masks differ — the CLI default is dropout
+            # 0.0). At long horizons the EMA converges and this is
+            # invisible; at short horizons (e.g. the 50-step 256² parity
+            # tier) the stats-lag difference is a systematic val-forward
+            # offset. The decay is read from the shared BatchNorm layer so
+            # the coefficients cannot desynchronize from the model.
+            decay = layers.BatchNorm.momentum  # flax convention (torch 1-m)
             new_gstats = jax.tree.map(
-                lambda s1, s0: 1.9 * s1 - 0.9 * s0,
+                lambda s1, s0: (1.0 + decay) * s1 - decay * s0,
                 new_gstats, state.g_stats)
         aux_metrics = {}
 

@@ -105,9 +105,9 @@ def _gaussian_blur_valid(x, kernel_size: int = 11, sigma: float = 1.5):
     return x
 
 
-def _fused_kernel_dispatch(pred, target, fn, want_map: bool):
-    """Route (pred, target) -> fn (a fused Pallas SSIM kernel) when it can
-    execute here, else return None and the caller keeps the XLA path.
+def _fused_kernel_dispatch(pred, target, kernel_name: str, want_map: bool):
+    """Route (pred, target) -> the named fused Pallas SSIM kernel when it
+    can execute here, else return None and the caller keeps the XLA path.
 
     * single-device process: call the kernel directly (the bench path).
     * multi-device mesh (installed via ``pai_tpu.parallel.context``): wrap
@@ -116,11 +116,21 @@ def _fused_kernel_dispatch(pred, target, fn, want_map: bool):
       meshes keep the kernel's measured win instead of falling back to
       the XLA formulation. The kernel grid is per-image, so per-shard
       calls compose with no cross-device traffic.
+
+    The kernel module import happens HERE, after the availability check:
+    CPU-only callers never pay it, and a jax build whose pallas-TPU module
+    cannot import falls back to the working XLA formulation instead of
+    raising from every metrics call.
     """
     from pai_tpu.kernels import kernels_available
 
     if not kernels_available():
         return None
+    try:
+        from pai_tpu.kernels import ssim_pallas
+    except ImportError:
+        return None
+    fn = getattr(ssim_pallas, kernel_name)
     if jax.device_count() == 1:
         return fn(pred, target)
     from pai_tpu.parallel.context import get_mesh_context
@@ -162,9 +172,7 @@ def ssim_parts(pred, target, data_range: float = 1.0,
     if (data_range == 1.0 and kernel_size == 11 and sigma == 1.5
             and k1 == 0.01 and k2 == 0.03 and pred.shape[-1] == 1
             and pred.shape[1] > 2 * 5 and pred.shape[2] > 2 * 5):
-        from pai_tpu.kernels.ssim_pallas import ssim_parts_fused
-
-        out = _fused_kernel_dispatch(pred, target, ssim_parts_fused,
+        out = _fused_kernel_dispatch(pred, target, "ssim_parts_fused",
                                      want_map=True)
         if out is not None:
             return out
@@ -221,9 +229,7 @@ def ssim_per_image(pred, target, data_range: float = 1.0):
     ``_fused_kernel_dispatch``)."""
     if (data_range == 1.0 and pred.shape[-1] == 1
             and pred.shape[1] > 2 * 5 and pred.shape[2] > 2 * 5):
-        from pai_tpu.kernels.ssim_pallas import ssim_per_image_fused
-
-        out = _fused_kernel_dispatch(pred, target, ssim_per_image_fused,
+        out = _fused_kernel_dispatch(pred, target, "ssim_per_image_fused",
                                      want_map=False)
         if out is not None:
             return out

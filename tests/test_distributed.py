@@ -62,15 +62,31 @@ def test_two_process_training_matches_single_process(tmp_path):
     port = _free_port()
     worker = os.path.join(REPO, "tests", "distributed_worker.py")
 
+    # Worker stdout goes to FILES, not pipes: with pipes, sequentially
+    # draining worker 0 while worker 1 blocks on a full pipe buffer inside
+    # a collective worker 0 is waiting on would deadlock all three
+    # processes until the timeout.
+    logs = [open(os.path.join(workdir, f"worker_{pid}.log"), "w+")
+            for pid in (0, 1)]
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(port), str(pid), workdir],
             env=_clean_env(), cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for pid in (0, 1)
+            stdout=log, stderr=subprocess.STDOUT, text=True)
+        for pid, log in zip((0, 1), logs)
     ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    for p, out in zip(procs, outs):
+    try:
+        for p in procs:
+            p.wait(timeout=900)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for p, log in zip(procs, logs):
+        log.seek(0)
+        out = log.read()
+        log.close()
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
     with open(os.path.join(workdir, "summary_0.json")) as f:

@@ -277,3 +277,27 @@ def test_gan_step_batch_stats_match_reference_double_forward():
     for a, b in zip(leaves_closed, leaves_literal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_palette_validate_on_non_main_process(tmp_path, synthetic_manifest):
+    """Non-main pod processes must still select PALETTE eval params/stats in
+    validate() — they join the sampling collectives; only the PNG/log IO is
+    rank-0 gated. Regression: the is_main gate once also guarded the param
+    selection, sending non-main palette processes into the GAN branch
+    (AttributeError on PaletteTrainState) and deadlocking the pod."""
+    from pai_tpu.train.loop import Trainer
+
+    train, val = synthetic_manifest
+    h = _hparams(tmp_path, train, val, model="palette", epochs=1,
+                 channel_mults="1,2", attention_res="2", val_epochs=1)
+    trainer = Trainer(h, image_size=32)
+    # Simulate rank 1: process_count stays 1, so sampling and _gather run
+    # locally with no collectives — this isolates the branch logic.
+    trainer.is_main = False
+    summary = trainer.fit()
+    assert "val_ssim" in summary
+    # rank-gated IO: no per-epoch sample dir was written
+    version_root = os.path.join(h["log_dir"], "smoke")
+    assert not os.path.isdir(version_root) or all(
+        not os.path.isdir(os.path.join(version_root, v, "1"))
+        for v in os.listdir(version_root))
