@@ -10,7 +10,9 @@ runs its production fit(): per-host batch rows through ``BatchLoader`` /
 ``jax.make_array_from_process_local_data``, cross-process gradient psum
 by GSPMD, rank-0-only logging/checkpointing, allgathered validation.
 
-Usage: python distributed_worker.py <port> <process_id> <workdir>
+Usage: python distributed_worker.py <port> <process_id> <workdir> [model]
+``model`` defaults to pix2pix; "palette" runs the diffusion task instead
+(sampling validation with collective frame gathers + rank-0 PNG writes).
 Writes <workdir>/summary_<pid>.json with the fit() summary + the logged
 training losses.
 """
@@ -22,6 +24,7 @@ import sys
 
 def main():
     port, pid, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    model = sys.argv[4] if len(sys.argv) > 4 else "pix2pix"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
@@ -34,20 +37,22 @@ def main():
     from pai_tpu.train.loop import Trainer
 
     hparams = {
-        "name": "dist2p",
-        "model": "pix2pix",
+        "name": f"dist2p_{model}",
+        "model": model,
         "data": os.path.join(workdir, "train.yaml"),
         "val_data": os.path.join(workdir, "val.yaml"),
-        "epochs": 2,
+        "epochs": 2 if model == "pix2pix" else 1,
         "steps": -1,
         "batch_size": 8,
-        "val_epochs": 2,
+        "val_epochs": 2 if model == "pix2pix" else 1,
         "precision": "32",
         "ema": False,
         "channel_mults": "1,2",
-        "attention_res": "8,4,2",
+        "attention_res": "8,4,2" if model == "pix2pix" else "2",
         "dropout": 0.0,
-        "loss_type": "gan",
+        "loss_type": "gan" if model == "pix2pix" else "mse",
+        "schedule_type": "linear",
+        "learn_variance": False,
         "seed": 0,
         "log_dir": os.path.join(workdir, "logs"),
         "ckpt_dir": os.path.join(workdir, "ckpts"),
@@ -64,6 +69,11 @@ def main():
         with open(os.path.join(trainer.logger.log_dir, "metrics.csv")) as f:
             rows = list(csv.DictReader(f))
         losses = [float(r["loss"]) for r in rows if r.get("loss")]
+        if model == "palette":
+            # sampled validation PNGs: rank-0-only, one per val image
+            epoch_dir = os.path.join(trainer.logger.log_dir, "1")
+            n_pngs = len(os.listdir(epoch_dir))
+            assert n_pngs == 6, (epoch_dir, n_pngs)
     with open(os.path.join(workdir, f"summary_{pid}.json"), "w") as f:
         json.dump({"summary": summary, "losses": losses}, f)
     print(f"[worker {pid}] ok {summary}", flush=True)

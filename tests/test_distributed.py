@@ -56,21 +56,20 @@ def _clean_env():
     return env
 
 
-def test_two_process_training_matches_single_process(tmp_path):
-    workdir = str(tmp_path)
-    _make_dataset(workdir)
+def _run_two_workers(workdir: str, model: str = "pix2pix") -> None:
+    """Launch the 2-process cluster and wait for both workers.
+
+    Worker stdout goes to FILES, not pipes: with pipes, sequentially
+    draining worker 0 while worker 1 blocks on a full pipe buffer inside
+    a collective worker 0 is waiting on would deadlock all three
+    processes until the timeout."""
     port = _free_port()
     worker = os.path.join(REPO, "tests", "distributed_worker.py")
-
-    # Worker stdout goes to FILES, not pipes: with pipes, sequentially
-    # draining worker 0 while worker 1 blocks on a full pipe buffer inside
-    # a collective worker 0 is waiting on would deadlock all three
-    # processes until the timeout.
     logs = [open(os.path.join(workdir, f"worker_{pid}.log"), "w+")
             for pid in (0, 1)]
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(pid), workdir],
+            [sys.executable, worker, str(port), str(pid), workdir, model],
             env=_clean_env(), cwd=REPO,
             stdout=log, stderr=subprocess.STDOUT, text=True)
         for pid, log in zip((0, 1), logs)
@@ -89,6 +88,12 @@ def test_two_process_training_matches_single_process(tmp_path):
         log.close()
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
+
+def test_two_process_training_matches_single_process(tmp_path):
+    workdir = str(tmp_path)
+    _make_dataset(workdir)
+    _run_two_workers(workdir, "pix2pix")
+
     with open(os.path.join(workdir, "summary_0.json")) as f:
         dist = json.load(f)["summary"]
     with open(os.path.join(workdir, "summary_1.json")) as f:
@@ -97,9 +102,9 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert dist["val_ssim"] == pytest.approx(dist1["val_ssim"], abs=1e-7)
 
     # rank-0-only IO: exactly one CSV logger version dir, ckpts written once
-    log_base = os.path.join(workdir, "logs", "dist2p")
+    log_base = os.path.join(workdir, "logs", "dist2p_pix2pix")
     assert os.listdir(log_base) == ["version_0"]
-    assert os.path.isdir(os.path.join(workdir, "ckpts", "dist2p", "last"))
+    assert os.path.isdir(os.path.join(workdir, "ckpts", "dist2p_pix2pix", "last"))
 
     # single-process 8-virtual-device run of the identical config
     single = subprocess.run(
@@ -133,3 +138,26 @@ print("SUMMARY=" + json.dumps(Trainer(hp, image_size=32).fit()))
     assert dist["val_psnr"] == pytest.approx(ref["val_psnr"], abs=5e-3)
     assert dist["val_rmse"] == pytest.approx(ref["val_rmse"], abs=5e-5)
     assert dist["steps"] == ref["steps"] == 4
+
+
+def test_two_process_palette_sampling_validation(tmp_path):
+    """Palette on a real 2-process pod: every process must join the
+    sampling collectives in validate() (param selection is NOT rank-gated
+    — regression for the GAN-branch crash), frame gathers run as real
+    process_allgather, and only rank 0 writes the per-epoch sample PNGs
+    (asserted inside the worker). Metrics are replicated across ranks."""
+    import json
+
+    workdir = str(tmp_path)
+    _make_dataset(workdir)
+    _run_two_workers(workdir, "palette")
+
+    summaries = []
+    for pid in (0, 1):
+        with open(os.path.join(workdir, f"summary_{pid}.json")) as f:
+            summaries.append(json.load(f)["summary"])
+    assert summaries[0]["val_ssim"] == pytest.approx(
+        summaries[1]["val_ssim"], abs=1e-7)
+    # rank-0-only logger dir
+    log_base = os.path.join(workdir, "logs", "dist2p_palette")
+    assert os.listdir(log_base) == ["version_0"]
