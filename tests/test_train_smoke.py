@@ -301,3 +301,53 @@ def test_palette_validate_on_non_main_process(tmp_path, synthetic_manifest):
     assert not os.path.isdir(version_root) or all(
         not os.path.isdir(os.path.join(version_root, v, "1"))
         for v in os.listdir(version_root))
+
+
+def test_nan_halt_saves_emergency_checkpoint_and_resumes(
+        tmp_path, synthetic_manifest, monkeypatch):
+    """Failure detection (SURVEY §5 — the reference has none): a non-finite
+    loss at a logging boundary must (1) save the pre-divergence state to the
+    'last' slot, (2) halt with FloatingPointError rather than burn the
+    remaining epochs on NaNs, and (3) leave a checkpoint a plain --resume
+    run continues from."""
+    import jax.numpy as jnp
+
+    from pai_tpu.train import steps as steps_lib
+    from pai_tpu.train.loop import fit
+
+    train, val = synthetic_manifest
+    real_make = steps_lib.make_gan_train_step
+
+    def poisoned_make(*a, **k):
+        step = real_make(*a, **k)
+
+        def wrapped(state, x, y, rng):
+            new_state, m = step(state, x, y, rng)
+            if "loss" in m:
+                # state.step counts from 0: step>=9 poisons the 10th
+                # optimizer step — exactly the first logging boundary.
+                m = dict(m)
+                m["loss"] = jnp.where(state.step >= 9, jnp.nan, m["loss"])
+            return new_state, m
+
+        return wrapped
+
+    # 12 train images / batch 4 = 3 steps/epoch; 6 epochs = 18 steps > 10.
+    h = _hparams(tmp_path, train, val, epochs=6, val_epochs=99)
+    with monkeypatch.context() as mp:
+        mp.setattr(steps_lib, "make_gan_train_step", poisoned_make)
+        with pytest.raises(FloatingPointError, match="non-finite loss"):
+            fit(h)
+
+    # Emergency 'last' checkpoint captured the halting step.
+    import yaml
+
+    meta_path = os.path.join(h["ckpt_dir"], "smoke", "last", "meta.yaml")
+    assert os.path.exists(meta_path)
+    with open(meta_path) as f:
+        meta = yaml.safe_load(f)
+    assert meta["step"] == 10
+
+    # Un-poisoned resume continues from the saved epoch to completion.
+    summary = fit(dict(h, resume=True))
+    assert summary["steps"] > 10
