@@ -52,6 +52,19 @@ if os.environ.get("PARITY_SCALE") == "256":
     IMG, BATCH, N_TRAIN, N_VAL, STEPS = 256, 4, 8, 4, 50
     SCALE_SUFFIX = "_256"
 
+# PARITY_HORIZON=long keeps the 32² configs but trains 5x longer
+# (1000 steps, 250 epochs over the fixed batch order) to a converged
+# train loss. Purpose: a SEMANTIC deviation accumulates with horizon
+# (the BN double-stat bug sat at 27x the control floor after 50 steps);
+# the head-to-head delta must instead stay at the reference's own
+# self-noise scale. Note val metrics on held-out images do NOT collapse
+# at convergence — the 1e-6 control lands 5.8e-4..9.8e-3 dSSIM from
+# itself at 1000 steps (generalization is a trajectory quantity) — so
+# the budget remains floor-relative, with measured absolute backstops.
+if os.environ.get("PARITY_HORIZON") == "long":
+    STEPS = 1000
+    SCALE_SUFFIX = "_long"
+
 
 # palette config: smaller (the 128-channel guided_diffusion UNet plus two
 # 100-step samplings dominate the harness runtime)
@@ -406,7 +419,9 @@ def run_config(model_name, loss_type, fname, patch=None):
     _, ctl_ssim, ctl_psnr = _train_and_eval(wrapper_c, perturb=1e-6)
 
     extra = {}
-    eps = PER_STEP_EPS.get(model_name) if SCALE_SUFFIX else None
+    # Per-step disturbance controls exist to bound short-horizon chaos;
+    # the converged long tier makes the literal-budget claim without them.
+    eps = PER_STEP_EPS.get(model_name) if SCALE_SUFFIX == "_256" else None
     if eps:
         # Control B (256² tier): CONTINUOUS per-step injection at the
         # measured cross-framework single-step amplitude (two independent
