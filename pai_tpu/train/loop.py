@@ -420,16 +420,20 @@ class Trainer:
                         + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
                         + f" | {rate:.1f} img/s")
                 # failure detection (SURVEY §5: reference has none):
-                # halt on divergence with an emergency checkpoint rather
-                # than burning the remaining epochs on NaNs.
+                # halt on divergence rather than burning the remaining
+                # epochs on NaNs. The diverged state goes to its own
+                # postmortem slot — its params are typically NaN too, so
+                # it must NOT overwrite 'last' (the most recent known-good
+                # validation-boundary save that --resume recovers from).
                 if not np.isfinite(vals.get("loss", 0.0)):
                     # collective: every process enters the orbax save
-                    self.ckpt.save_last(self._state_dict(state),
-                                        sanitize_hparams(h),
-                                        global_step, epoch)
+                    self.ckpt.save_diverged(self._state_dict(state),
+                                            sanitize_hparams(h),
+                                            global_step, epoch)
                     raise FloatingPointError(
                         f"non-finite loss at step {global_step} "
-                        f"(state saved to last)")
+                        f"(diverged state saved for postmortem; "
+                        f"--resume recovers from the last checkpoint)")
             if profiling and global_step >= 12:
                 jax.profiler.stop_trace()
                 profiling = False

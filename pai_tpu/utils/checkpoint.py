@@ -92,6 +92,18 @@ class CheckpointManager:
             else float(monitor_value),
         })
 
+    def save_diverged(self, state, hparams: Dict, step: int,
+                      epoch: int) -> None:
+        """Postmortem slot for a state whose loss went non-finite. Kept
+        SEPARATE from 'last' on purpose: the diverged state's parameters
+        are typically NaN (the loss the grads flow from is), so writing it
+        over 'last' would clobber the most recent known-good
+        validation-boundary save — the one ``--resume`` recovers from."""
+        self._save("diverged", state, {
+            "hparams": hparams, "step": int(step), "epoch": int(epoch),
+            "monitor_value": None,
+        })
+
     def maybe_save_best(self, state, hparams: Dict, step: int, epoch: int,
                         monitor_value: float) -> bool:
         """Save to best/ iff monitor improved (max val_ssim)."""

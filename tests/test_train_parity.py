@@ -51,6 +51,27 @@ def _run_clean_subprocess(config, fixture_path, scale=None, horizon=None):
 pytestmark = pytest.mark.parity
 
 
+def _head_to_head(config, fname, scale=None, horizon=None):
+    """Shared tier boilerplate: load the reference fixture, run the pai
+    side in a clean subprocess, and compute the metric deltas every tier
+    asserts budgets on. Returns (fixture, pai_result, deltas)."""
+    path = os.path.join(FIXDIR, fname)
+    if not os.path.exists(path):
+        hint = ("PARITY_SCALE=256 " if scale else
+                "PARITY_HORIZON=long " if horizon else "")
+        pytest.skip(f"{fname} missing ({hint}tools/train_parity.py)")
+    z = np.load(path)
+    got = _run_clean_subprocess(config, path, scale=scale, horizon=horizon)
+    ref_ssim, ref_psnr = float(z["val_ssim"]), float(z["val_psnr"])
+    deltas = {
+        "dssim": abs(got["ssim"] - ref_ssim),
+        "dpsnr": abs(got["psnr"] - ref_psnr),
+        "ctl_dssim": abs(float(z["control_ssim"]) - ref_ssim),
+        "ctl_dpsnr": abs(float(z["control_psnr"]) - ref_psnr),
+    }
+    return z, got, deltas
+
+
 @pytest.mark.parametrize("config,fname,backstop", [
     ("gan", "train_parity_gan.npz", 5e-3),
     ("res18", "train_parity_res18_mse.npz", 5e-3),
@@ -61,28 +82,17 @@ pytestmark = pytest.mark.parity
     ("trans", "train_parity_trans_mse.npz", 1e-2),
 ])
 def test_training_quality_parity(config, fname, backstop):
-    path = os.path.join(FIXDIR, fname)
-    if not os.path.exists(path):
-        pytest.skip(f"{fname} missing (tools/train_parity.py)")
-    z = np.load(path)
-    got = _run_clean_subprocess(config, path)
+    z, got, d = _head_to_head(config, fname)
 
-    ref_losses = np.asarray(z["losses"])
     # semantic identity at step 0: identical weights + batch => identical
     # loss up to f32 backend conv reduction order
-    assert got["losses0"] == pytest.approx(float(ref_losses[0]), rel=2e-4)
-
-    ref_ssim, ref_psnr = float(z["val_ssim"]), float(z["val_psnr"])
-    ctl_dssim = abs(float(z["control_ssim"]) - ref_ssim)
-    ctl_dpsnr = abs(float(z["control_psnr"]) - ref_psnr)
-    dssim = abs(got["ssim"] - ref_ssim)
-    dpsnr = abs(got["psnr"] - ref_psnr)
+    assert got["losses0"] == pytest.approx(float(z["losses"][0]), rel=2e-4)
 
     # within the 1e-3 budget, or within the reference's own self-noise floor
-    assert dssim <= max(1e-3, ctl_dssim), (dssim, ctl_dssim)
-    assert dpsnr <= max(5e-2, 2.0 * ctl_dpsnr), (dpsnr, ctl_dpsnr)
+    assert d["dssim"] <= max(1e-3, d["ctl_dssim"]), d
+    assert d["dpsnr"] <= max(5e-2, 2.0 * d["ctl_dpsnr"]), d
     # absolute backstop independent of the control
-    assert dssim <= backstop
+    assert d["dssim"] <= backstop
 
 
 @pytest.mark.parametrize("config,fname", [
@@ -108,11 +118,7 @@ def test_training_quality_parity_256(config, fname):
     with per-step parameter noise at the amplitude tools/step_noise_probe.py
     MEASURED for one cross-framework production step (two draws; the floor
     is their max deviation). See docs/PARITY.md "256² tier"."""
-    path = os.path.join(FIXDIR, fname)
-    if not os.path.exists(path):
-        pytest.skip(f"{fname} missing (PARITY_SCALE=256 tools/train_parity.py)")
-    z = np.load(path)
-    got = _run_clean_subprocess(config, path, scale=256)
+    z, got, d = _head_to_head(config, fname, scale=256)
 
     ref_losses = np.asarray(z["losses"], np.float64)
     jax_losses = np.asarray(got["losses"], np.float64)
@@ -139,8 +145,7 @@ def test_training_quality_parity_256(config, fname):
 
     # Final-metric budget: the measured continuous-noise control floor.
     ref_ssim, ref_psnr = float(z["val_ssim"]), float(z["val_psnr"])
-    dssim = abs(got["ssim"] - ref_ssim)
-    dpsnr = abs(got["psnr"] - ref_psnr)
+    dssim, dpsnr = d["dssim"], d["dpsnr"]
     assert "ctl_ps_ssim" in z, "fixture predates the perstep control"
     # Bracket: iid per-step noise (contractive descent damps it — lower
     # bound) and the coherent-bias draws (systematic disturbance, e.g. a
@@ -183,12 +188,7 @@ def test_training_quality_parity_converged(config, fname):
     dynamics keep no pointwise fixed point). Same scale as the 200-step
     deltas and the floors — nothing grows with horizon, which is the
     claim this tier pins."""
-    path = os.path.join(FIXDIR, fname)
-    if not os.path.exists(path):
-        pytest.skip(f"{fname} missing (PARITY_HORIZON=long "
-                    "tools/train_parity.py)")
-    z = np.load(path)
-    got = _run_clean_subprocess(config, path, horizon="long")
+    z, got, d = _head_to_head(config, fname, horizon="long")
 
     ref_losses = np.asarray(z["losses"], np.float64)
     jax_losses = np.asarray(got["losses"], np.float64)
@@ -202,18 +202,13 @@ def test_training_quality_parity_converged(config, fname):
     assert abs(tail_jax - tail_ref) <= 1e-1 * abs(tail_ref), \
         (tail_jax, tail_ref)
 
-    ref_ssim, ref_psnr = float(z["val_ssim"]), float(z["val_psnr"])
-    ctl_dssim = abs(float(z["control_ssim"]) - ref_ssim)
-    ctl_dpsnr = abs(float(z["control_psnr"]) - ref_psnr)
-    dssim = abs(got["ssim"] - ref_ssim)
-    dpsnr = abs(got["psnr"] - ref_psnr)
     # No accumulation: the delta stays at the self-noise scale (2x a
     # single-draw floor; 5e-3 absolute covers gan, whose control draw is
     # anomalously tight at 5.8e-4 while cross-framework continuous noise
     # measures 3.6e-3). A compounding semantic error lands decades out.
-    assert dssim <= max(5e-3, 2.0 * ctl_dssim), (dssim, ctl_dssim)
-    assert dssim <= 2e-2, dssim  # absolute backstop
-    assert dpsnr <= max(2e-1, 2.5 * ctl_dpsnr), (dpsnr, ctl_dpsnr)
+    assert d["dssim"] <= max(5e-3, 2.0 * d["ctl_dssim"]), d
+    assert d["dssim"] <= 2e-2, d  # absolute backstop
+    assert d["dpsnr"] <= max(2e-1, 2.5 * d["ctl_dpsnr"]), d
 
 
 def test_palette_training_quality_parity():

@@ -303,14 +303,17 @@ def test_palette_validate_on_non_main_process(tmp_path, synthetic_manifest):
         for v in os.listdir(version_root))
 
 
-def test_nan_halt_saves_emergency_checkpoint_and_resumes(
+def test_nan_halt_saves_postmortem_and_preserves_last(
         tmp_path, synthetic_manifest, monkeypatch):
     """Failure detection (SURVEY §5 — the reference has none): a non-finite
-    loss at a logging boundary must (1) save the pre-divergence state to the
-    'last' slot, (2) halt with FloatingPointError rather than burn the
-    remaining epochs on NaNs, and (3) leave a checkpoint a plain --resume
-    run continues from."""
+    loss at a logging boundary must (1) halt with FloatingPointError rather
+    than burn the remaining epochs on NaNs, (2) save the diverged state to
+    its own postmortem slot — in a real divergence its params are NaN too
+    (the grads flow from the NaN loss), so it must NOT clobber (3) the
+    known-good 'last' checkpoint from the previous validation boundary,
+    which a plain --resume then recovers from."""
     import jax.numpy as jnp
+    import yaml
 
     from pai_tpu.train import steps as steps_lib
     from pai_tpu.train.loop import fit
@@ -332,22 +335,26 @@ def test_nan_halt_saves_emergency_checkpoint_and_resumes(
 
         return wrapped
 
-    # 12 train images / batch 4 = 3 steps/epoch; 6 epochs = 18 steps > 10.
-    h = _hparams(tmp_path, train, val, epochs=6, val_epochs=99)
+    def meta(slot):
+        path = os.path.join(h["ckpt_dir"], "smoke", slot, "meta.yaml")
+        assert os.path.exists(path), f"missing {slot} checkpoint"
+        with open(path) as f:
+            return yaml.safe_load(f)
+
+    # 12 train images / batch 4 = 3 steps/epoch, validation (and a 'last'
+    # save) every epoch; the poison fires at step 10, inside epoch 4.
+    h = _hparams(tmp_path, train, val, epochs=6, val_epochs=1)
     with monkeypatch.context() as mp:
         mp.setattr(steps_lib, "make_gan_train_step", poisoned_make)
         with pytest.raises(FloatingPointError, match="non-finite loss"):
             fit(h)
 
-    # Emergency 'last' checkpoint captured the halting step.
-    import yaml
+    # Diverged state captured for postmortem at the halting step...
+    assert meta("diverged")["step"] == 10
+    # ...while 'last' still holds the epoch-3 validation-boundary save.
+    assert meta("last")["step"] == 9
+    assert meta("last")["epoch"] == 2
 
-    meta_path = os.path.join(h["ckpt_dir"], "smoke", "last", "meta.yaml")
-    assert os.path.exists(meta_path)
-    with open(meta_path) as f:
-        meta = yaml.safe_load(f)
-    assert meta["step"] == 10
-
-    # Un-poisoned resume continues from the saved epoch to completion.
+    # Un-poisoned resume recovers from 'last' and completes epochs 4-6.
     summary = fit(dict(h, resume=True))
-    assert summary["steps"] > 10
+    assert summary["steps"] == 18

@@ -62,6 +62,12 @@ if os.environ.get("PARITY_SCALE") == "256":
 # itself at 1000 steps (generalization is a trajectory quantity) — so
 # the budget remains floor-relative, with measured absolute backstops.
 if os.environ.get("PARITY_HORIZON") == "long":
+    if os.environ.get("PARITY_SCALE"):
+        # A stale PARITY_SCALE would compose with the long tier and
+        # silently overwrite the 32² _long fixtures with mislabeled
+        # 256² data (and attempt a 1000-step 256² CPU train).
+        raise SystemExit("PARITY_HORIZON=long and PARITY_SCALE are "
+                         "mutually exclusive; unset one")
     STEPS = 1000
     SCALE_SUFFIX = "_long"
 
