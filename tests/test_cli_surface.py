@@ -45,6 +45,25 @@ def _reference_flags(fname):
     return flags, choices
 
 
+def _declared_defaults(path):
+    """Map of long option string -> literal default= value, via ast."""
+    tree = ast.parse(open(path).read())
+    defaults = {}
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "add_argument"):
+            continue
+        opts = [a.value for a in node.args
+                if isinstance(a, ast.Constant) and str(a.value).startswith("-")]
+        if not opts:
+            continue
+        for kw in node.keywords:
+            if kw.arg == "default" and isinstance(kw.value, ast.Constant):
+                defaults[opts[-1]] = kw.value.value  # last = long form
+    return defaults
+
+
 def _help_text(script):
     out = subprocess.run([sys.executable, script, "--help"],
                          cwd=REPO, capture_output=True, text=True,
@@ -63,3 +82,24 @@ def test_reference_flag_surface_preserved(script):
     missing_choices = [c for c in choices if c not in text]
     assert not missing_choices, \
         f"{script} dropped reference choices: {missing_choices}"
+
+
+@pytest.mark.parametrize("script", ["main.py", "report.py"])
+def test_reference_flag_defaults_preserved(script):
+    """Every literal default the reference declares must be declared
+    identically by the rebuild (e.g. epochs 200, batch-size 8 train /
+    2 report, val-epochs 10, precision '32', the 1,2,4,8x5 channel
+    mults) — a silently changed default would alter behaviour for users
+    migrating with reference muscle memory."""
+    ref_path = os.path.join(REFERENCE, script)
+    if not os.path.exists(ref_path):
+        pytest.skip(f"reference {script} not available")
+    ref = _declared_defaults(ref_path)
+    ours = _declared_defaults(os.path.join(REPO, script))
+    assert ref, f"no defaults extracted from reference {script}"
+    mismatched = {
+        flag: (ref[flag], ours.get(flag, "<missing>"))
+        for flag in ref
+        if flag not in ours or ours[flag] != ref[flag]
+    }
+    assert not mismatched, f"{script} default drift: {mismatched}"
