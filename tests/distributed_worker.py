@@ -10,11 +10,13 @@ runs its production fit(): per-host batch rows through ``BatchLoader`` /
 ``jax.make_array_from_process_local_data``, cross-process gradient psum
 by GSPMD, rank-0-only logging/checkpointing, allgathered validation.
 
-Usage: python distributed_worker.py <port> <process_id> <workdir> [model]
+Usage: python distributed_worker.py <port> <process_id> <workdir> [model] [tp]
 ``model`` defaults to pix2pix; "palette" runs the diffusion task instead
 (sampling validation with collective frame gathers + rank-0 PNG writes).
-Writes <workdir>/summary_<pid>.json with the fit() summary + the logged
-training losses.
+``tp`` > 1 adds Megatron channel sharding on top of dp — the 'tp' axis
+then spans the process boundary, so its psums run as real cross-process
+collectives. Writes <workdir>/summary_<pid>.json with the fit() summary
++ the logged training losses.
 """
 
 import json
@@ -25,6 +27,7 @@ import sys
 def main():
     port, pid, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     model = sys.argv[4] if len(sys.argv) > 4 else "pix2pix"
+    tp = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
@@ -37,7 +40,8 @@ def main():
     from pai_tpu.train.loop import Trainer
 
     hparams = {
-        "name": f"dist2p_{model}",
+        "name": f"dist2p_{model}" + (f"_tp{tp}" if tp > 1 else ""),
+        "tp": tp,
         "model": model,
         "data": os.path.join(workdir, "train.yaml"),
         "val_data": os.path.join(workdir, "val.yaml"),
@@ -59,7 +63,9 @@ def main():
     }
     trainer = Trainer(hparams, image_size=32)
     assert trainer.process_count == 2, trainer.process_count
-    assert trainer.mesh.shape["dp"] == 8, dict(trainer.mesh.shape)
+    assert trainer.mesh.shape["dp"] == 8 // tp, dict(trainer.mesh.shape)
+    if tp > 1:
+        assert trainer.mesh.shape["tp"] == tp, dict(trainer.mesh.shape)
     summary = trainer.fit()
 
     losses = None
