@@ -28,6 +28,7 @@ def main():
     port, pid, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     model = sys.argv[4] if len(sys.argv) > 4 else "pix2pix"
     tp = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    sp = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
@@ -40,8 +41,10 @@ def main():
     from pai_tpu.train.loop import Trainer
 
     hparams = {
-        "name": f"dist2p_{model}" + (f"_tp{tp}" if tp > 1 else ""),
+        "name": (f"dist2p_{model}" + (f"_tp{tp}" if tp > 1 else "")
+                 + (f"_sp{sp}" if sp > 1 else "")),
         "tp": tp,
+        "sp": sp,
         "model": model,
         "data": os.path.join(workdir, "train.yaml"),
         "val_data": os.path.join(workdir, "val.yaml"),
@@ -63,9 +66,12 @@ def main():
     }
     trainer = Trainer(hparams, image_size=32)
     assert trainer.process_count == 2, trainer.process_count
-    assert trainer.mesh.shape["dp"] == 8 // tp, dict(trainer.mesh.shape)
+    assert trainer.mesh.shape["dp"] == 8 // (tp * sp), \
+        dict(trainer.mesh.shape)
     if tp > 1:
         assert trainer.mesh.shape["tp"] == tp, dict(trainer.mesh.shape)
+    if sp > 1:
+        assert trainer.mesh.shape["sp"] == sp, dict(trainer.mesh.shape)
     summary = trainer.fit()
 
     losses = None

@@ -57,7 +57,7 @@ def _clean_env():
 
 
 def _run_two_workers(workdir: str, model: str = "pix2pix",
-                     tp: int = 1) -> None:
+                     tp: int = 1, sp: int = 1) -> None:
     """Launch the 2-process cluster and wait for both workers.
 
     Worker stdout goes to FILES, not pipes: with pipes, sequentially
@@ -71,7 +71,7 @@ def _run_two_workers(workdir: str, model: str = "pix2pix",
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(port), str(pid), workdir, model,
-             str(tp)],
+             str(tp), str(sp)],
             env=_clean_env(), cwd=REPO,
             stdout=log, stderr=subprocess.STDOUT, text=True)
         for pid, log in zip((0, 1), logs)
@@ -186,6 +186,52 @@ print("SUMMARY=" + json.dumps(Trainer(hp, image_size=32).fit()))
     assert dist["val_ssim"] == pytest.approx(ref["val_ssim"], abs=5e-5)
     assert dist["val_psnr"] == pytest.approx(ref["val_psnr"], abs=5e-3)
     assert dist["steps"] == ref["steps"] == 4
+
+
+def test_two_process_ring_attention_matches_single_process(tmp_path):
+    """--sp 2 over a REAL 2-process pod: the exact ring-attention
+    ppermute ring crosses the process boundary (mesh ('dp'=4,'sp'=2),
+    each host owning half the devices), exercised through the palette
+    task whose diffusion-UNet attention is the sp dispatch target.
+    Metrics must match the single-process 8-device sp=2 run."""
+    workdir = str(tmp_path)
+    _make_dataset(workdir)
+    _run_two_workers(workdir, "palette", tp=1, sp=2)
+
+    with open(os.path.join(workdir, "summary_0.json")) as f:
+        dist = json.load(f)["summary"]
+    with open(os.path.join(workdir, "summary_1.json")) as f:
+        dist1 = json.load(f)["summary"]
+    assert dist["val_ssim"] == pytest.approx(dist1["val_ssim"], abs=1e-7)
+
+    single = subprocess.run(
+        [sys.executable, "-c", f"""
+import os, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from pai_tpu.train.loop import Trainer
+hp = {{
+    "name": "single8sp2", "model": "palette", "sp": 2,
+    "data": r"{workdir}/train.yaml", "val_data": r"{workdir}/val.yaml",
+    "epochs": 1, "steps": -1, "batch_size": 8, "val_epochs": 1,
+    "precision": "32", "ema": False, "channel_mults": "1,2",
+    "attention_res": "2", "dropout": 0.0, "loss_type": "mse",
+    "schedule_type": "linear", "learn_variance": False,
+    "seed": 0, "log_dir": r"{workdir}/logs1p", "ckpt_dir": r"{workdir}/ck1p",
+}}
+print("SUMMARY=" + json.dumps(Trainer(hp, image_size=32).fit()))
+"""],
+        env=_clean_env(), cwd=REPO, capture_output=True, text=True,
+        timeout=900)
+    assert single.returncode == 0, single.stdout[-4000:] + single.stderr[-4000:]
+    line = [ln for ln in single.stdout.splitlines()
+            if ln.startswith("SUMMARY=")][-1]
+    ref = json.loads(line[len("SUMMARY="):])
+
+    assert dist["val_ssim"] == pytest.approx(ref["val_ssim"], abs=5e-5)
+    assert dist["val_psnr"] == pytest.approx(ref["val_psnr"], abs=5e-3)
 
 
 def test_two_process_palette_sampling_validation(tmp_path):
