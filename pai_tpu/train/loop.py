@@ -96,11 +96,6 @@ class Trainer:
         # 0 writes logs/checkpoints/PNGs; compute and collectives still run
         # on every process.
         self.is_main = self.process_index == 0
-        if self.process_count > 1 and hparams.get("fsdp"):
-            raise NotImplementedError(
-                "multi-process --fsdp is not supported: checkpoints are "
-                "host-materialised on process 0, which requires fully-"
-                "replicated (non-fsdp) state across the pod")
 
         # Mesh: 'tp' from --tp (tensor parallel, Megatron channel sharding);
         # data-parallel degree = the largest device count that divides the
@@ -227,14 +222,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _state_dict(self, state):
-        sd = serialization.to_state_dict(state)
-        if self.process_count > 1:
-            # Host-materialise the fully-replicated global arrays so the
-            # process-0 checkpoint write needs no cross-process orbax
-            # collectives (state is replicated on dp meshes; fsdp is
-            # rejected at init in multi-process mode).
-            sd = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), sd)
-        return sd
+        # Live jax.Arrays, shardings intact: orbax saves each shard from
+        # its owning process (and restores with the target sharding), so
+        # dp-replicated AND fsdp/tp-sharded state checkpoint identically —
+        # no host materialisation, which an fsdp pod could not do anyway
+        # (no single process addresses the whole array).
+        return serialization.to_state_dict(state)
 
     def _gather(self, tree):
         """Fetch possibly dp-sharded per-image arrays as full host values

