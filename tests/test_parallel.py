@@ -347,3 +347,51 @@ def test_trainer_tp_flag(eight_devices, tmp_path):
     }
     summary = fit(h)
     assert np.isfinite(summary["val_ssim"])
+
+
+def test_ring_attention_flash_hop_matches_full(eight_devices):
+    """Flash-hop ring (VERDICT r3 item 4): with kernels available and the
+    shard above threshold, each ring hop runs the Pallas flash kernel
+    (pallas_call in the jaxpr) instead of a materialised einsum; forward
+    AND gradients stay exact vs single-device full attention — the
+    backward is its own ring that circulates (dK, dV) accumulators home."""
+    from pai_tpu import kernels
+    from pai_tpu.ops.attention import _full_attention
+    from pai_tpu.parallel import ring_attention as R
+
+    mesh = Mesh(np.asarray(eight_devices).reshape(-1), ("sp",))
+    kq, kk, kv = jax.random.split(jax.random.key(3), 3)
+    b, h, t, d = 1, 2, 1024, 16
+    q = jax.random.normal(kq, (b, h, t, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
+
+    prev = R._FLASH_RING_THRESHOLD
+    kernels.set_interpret(True)
+    R._FLASH_RING_THRESHOLD = 128  # t_local = 1024/8 = 128
+    try:
+        fn = lambda q, k, v: R.sequence_sharded_attention(mesh, q, k, v)
+        assert "pallas_call" in str(jax.make_jaxpr(fn)(q, k, v))
+
+        got = fn(q, k, v)
+        expected = _full_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=2e-5, atol=2e-5)
+
+        # gradients through the flash-hop ring == full-attention gradients
+        def loss_ring(q, k, v):
+            out = fn(q, k, v)
+            return jnp.sum(jnp.sin(out))
+
+        def loss_full(q, k, v):
+            return jnp.sum(jnp.sin(_full_attention(q, k, v)))
+
+        g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g_full = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+        for gr, gf, name in zip(g_ring, g_full, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gr), np.asarray(gf), rtol=5e-4, atol=5e-5,
+                err_msg=f"d{name} mismatch")
+    finally:
+        R._FLASH_RING_THRESHOLD = prev
+        kernels.set_interpret(False)
