@@ -49,19 +49,36 @@ OUT_CHANNELS = 1
 
 class _Progress:
     """Per-step progress display — the reference shows live loss/metric
-    values via Lightning's ``prog_bar=True`` (``models/wrapper.py:132``);
-    here a stderr line at every 10-step log boundary: inline ``\\r``
-    updates on a TTY, plain lines otherwise (so piped logs stay clean)."""
+    values on EVERY step via Lightning's ``prog_bar=True``
+    (``models/wrapper.py:132``). On a TTY: an inline ``\\r`` line updated
+    every step (rate-limited to ~20 Hz, like Lightning's tqdm bar) showing
+    the step counter plus the metric values from the most recent 10-step
+    fetch boundary — no extra device sync is ever paid for display. Piped
+    logs get plain lines only at log boundaries, so files stay clean."""
+
+    _MIN_INTERVAL = 0.05  # seconds between inline redraws
 
     def __init__(self):
         self._open = False
         self._tty = sys.stderr.isatty()
+        self._last_draw = 0.0
 
-    def update(self, msg: str) -> None:
+    @property
+    def live(self) -> bool:
+        """Whether per-step (non-boundary) updates will be displayed."""
+        return self._tty
+
+    def update(self, msg: str, throttle: bool = False) -> None:
         if self._tty:
-            print("\r[pai_tpu] " + msg, end="", file=sys.stderr, flush=True)
+            now = time.time()
+            if throttle and now - self._last_draw < self._MIN_INTERVAL:
+                return
+            self._last_draw = now
+            # \x1b[K clears any longer previous line's tail
+            print("\r[pai_tpu] " + msg + "\x1b[K", end="", file=sys.stderr,
+                  flush=True)
             self._open = True
-        else:
+        elif not throttle:
             print("[pai_tpu] " + msg, file=sys.stderr, flush=True)
 
     def close(self) -> None:
@@ -393,6 +410,8 @@ class Trainer:
             raise ValueError("--scan-steps must divide the 10-step log "
                              "cadence (1, 2, 5 or 10)")
 
+        last_vals: Dict[str, float] = {}
+
         def process_single(state, batch, epoch):
             """One optimizer step + the logging/failure/profile bookkeeping."""
             nonlocal global_step, images_seen, profiling, done
@@ -405,6 +424,8 @@ class Trainer:
                 # fetch and log (only host sync point in the loop)
                 vals = {k: float(v) for k, v in
                         jax.device_get(metrics).items()}
+                last_vals.clear()
+                last_vals.update(vals)
                 if self.is_main:
                     self.logger.log_metrics(vals, global_step, epoch)
                     rate = images_seen / max(time.time() - t0, 1e-9)
@@ -427,6 +448,14 @@ class Trainer:
                         f"non-finite loss at step {global_step} "
                         f"(diverged state saved for postmortem; "
                         f"--resume recovers from the last checkpoint)")
+            elif self.is_main and progress.live:
+                # per-step live line (Lightning prog_bar parity): shows the
+                # most recent boundary's metric values without fetching —
+                # the device queue keeps running ahead
+                progress.update(
+                    f"epoch {epoch + 1} step {global_step} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in last_vals.items()),
+                    throttle=True)
             if profiling and global_step >= 12:
                 jax.profiler.stop_trace()
                 profiling = False

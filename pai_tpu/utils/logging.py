@@ -24,7 +24,6 @@ class CSVLogger:
         os.makedirs(self.log_dir, exist_ok=True)
         self._path = os.path.join(self.log_dir, "metrics.csv")
         self._fieldnames: list[str] = ["epoch", "step"]
-        self._rows: list[dict] = []
         self._appendable = False  # header not yet on disk
 
     def log_hparams(self, hparams: Dict) -> None:
@@ -42,18 +41,25 @@ class CSVLogger:
             if k not in self._fieldnames:
                 self._fieldnames.append(k)
                 new_fields = True
-        self._rows.append(row)
-        if new_fields or not self._appendable:
-            self._rewrite()
-        else:
-            with open(self._path, "a", newline="") as f:
-                csv.DictWriter(f, fieldnames=self._fieldnames).writerow(row)
+        if new_fields and self._appendable:
+            self._rewrite_header()
+        with open(self._path, "w" if not self._appendable else "a",
+                  newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self._fieldnames)
+            if not self._appendable:
+                writer.writeheader()
+            writer.writerow(row)
+        self._appendable = True
 
-    def _rewrite(self) -> None:
-        # Full rewrite only when the header gains a column; steady-state
-        # logging appends a single row (O(n) total IO, not O(n^2)).
+    def _rewrite_header(self) -> None:
+        # The header gained a column (a metric set seen for the first time
+        # — e.g. the first validation row): re-read the file and rewrite it
+        # under the grown header. O(file) IO per distinct metric set, which
+        # is bounded; memory stays O(1) — no row retention (a long run logs
+        # a row every 10 steps forever).
+        with open(self._path, newline="") as f:
+            rows = list(csv.DictReader(f))
         with open(self._path, "w", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=self._fieldnames)
             writer.writeheader()
-            writer.writerows(self._rows)
-        self._appendable = True
+            writer.writerows(rows)

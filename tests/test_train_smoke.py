@@ -358,3 +358,28 @@ def test_nan_halt_saves_postmortem_and_preserves_last(
     # Un-poisoned resume recovers from 'last' and completes epochs 4-6.
     summary = fit(dict(h, resume=True))
     assert summary["steps"] == 18
+
+
+def test_csv_logger_header_growth_and_o1_memory(tmp_path):
+    """CSVLogger appends rows in O(1) memory (no row retention — a long
+    run logs a row per 10 steps forever) and rewrites the file only when
+    the header gains columns (first validation row); earlier rows keep
+    their values with empty cells under the new columns."""
+    import csv
+
+    from pai_tpu.utils.logging import CSVLogger
+
+    logger = CSVLogger(str(tmp_path), "csvtest")
+    for step in (10, 20):
+        logger.log_metrics({"loss": 1.0 / step}, step, epoch=0)
+    logger.log_metrics({"val_ssim": 0.5}, 20, epoch=0)  # header grows
+    logger.log_metrics({"loss": 0.01}, 30, epoch=1)
+
+    assert not hasattr(logger, "_rows")  # O(1): no retained rows
+    with open(os.path.join(logger.log_dir, "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["step"] for r in rows] == ["10", "20", "20", "30"]
+    assert rows[0]["loss"] == "0.1"
+    assert rows[0]["val_ssim"] == ""    # backfilled empty cell
+    assert rows[2]["val_ssim"] == "0.5"
+    assert rows[3]["loss"] == "0.01"
