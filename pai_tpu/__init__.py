@@ -22,7 +22,7 @@ Reference layer map: /root/reference (see SURVEY.md)."""
 __version__ = "0.1.0"
 
 _API_NAMES = ("Pix2Pix", "AttentionUnetGAN", "ResUnetGAN", "TransUnetGAN",
-              "Palette")
+              "Palette", "ImageDataModule")
 
 
 def __getattr__(name):

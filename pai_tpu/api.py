@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from pai_tpu.config import TRAIN_DEFAULTS
+from pai_tpu.data import ImageDataModule  # noqa: F401  (public facade)
 from pai_tpu.train.loop import Trainer
 
 

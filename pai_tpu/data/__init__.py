@@ -3,3 +3,4 @@ threaded prefetch -> sharded device batches."""
 
 from pai_tpu.data.manifest import load_manifest
 from pai_tpu.data.pipeline import ImageDataset, BatchLoader
+from pai_tpu.data.datamodule import ImageDataModule

@@ -88,3 +88,45 @@ def test_output_process_rejected_for_gan_models():
     model._params = {}  # sidestep the no-weights check
     with pytest.raises(ValueError, match="output_process"):
         model.predict(jnp.zeros((1, 32, 32, 1)), output_process=True)
+
+
+def test_image_datamodule_facade(dataset):
+    """ImageDataModule constructor vocabulary + stage/loader semantics match
+    the reference (dataset.py:11-107): positional (data_list_file,
+    val_list_file, batch_size, normalize); setup("fit") selects train+val,
+    setup("predict") points pred_split at the *data* list; train loader
+    shuffles, predict loader preserves manifest order with an exact
+    n_valid on the padded final batch (drop_last=False semantics)."""
+    import inspect
+
+    from pai_tpu import ImageDataModule
+
+    params = list(inspect.signature(ImageDataModule).parameters)
+    assert params[:4] == ["data_list_file", "val_list_file", "batch_size",
+                          "normalize"]
+
+    dm = ImageDataModule(dataset, dataset, batch_size=3, normalize=True,
+                         image_size=32)
+    dm.setup("fit")
+    assert dm.train_split is not None and dm.val_split is not None
+    dm.setup("predict")
+    batches = list(dm.predict_dataloader())
+    # 8 images, batch 3 -> 3 batches, final padded with n_valid=2
+    assert [b.n_valid for b in batches] == [3, 3, 2]
+    assert all(b.x.shape == (3, 32, 32, 1) for b in batches)
+    # normalized to [-1, 1]
+    assert float(batches[0].x.min()) >= -1.0
+    assert float(batches[0].x.max()) <= 1.0
+
+    train_batches = list(dm.train_dataloader())
+    assert [b.n_valid for b in train_batches] == [3, 3, 2]
+
+
+def test_image_datamodule_without_val_list(dataset):
+    from pai_tpu import ImageDataModule
+
+    dm = ImageDataModule(dataset, batch_size=4)
+    dm.setup("fit")
+    assert dm.val_split is None
+    dm.setup("test")
+    assert len(list(dm.test_dataloader())) == 2
