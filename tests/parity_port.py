@@ -135,35 +135,51 @@ def port_attention(w, prefix="att"):
     return unflatten_dict(params), unflatten_dict(stats)
 
 
-# -- guided_diffusion UNet (mults (1,2), res_blocks=2, attn at ds=2;
-#    structure per unet.py:418-548) ------------------------------------
-GD_BLOCKS = {
-    "in_conv": "input_blocks.0.0",
-    "in_res_0": "input_blocks.1.0",
-    "in_res_1": "input_blocks.2.0",
-    "down_0": "input_blocks.3.0",
-    "in_res_2": "input_blocks.4.0",
-    "in_attn_2": "input_blocks.4.1",
-    "in_res_3": "input_blocks.5.0",
-    "in_attn_3": "input_blocks.5.1",
-    "mid_res_0": "middle_block.0",
-    "mid_attn": "middle_block.1",
-    "mid_res_1": "middle_block.2",
-    "out_res_0": "output_blocks.0.0",
-    "out_attn_0": "output_blocks.0.1",
-    "out_res_1": "output_blocks.1.0",
-    "out_attn_1": "output_blocks.1.1",
-    "out_res_2": "output_blocks.2.0",
-    "out_attn_2": "output_blocks.2.1",
-    "up_1": "output_blocks.2.2",
-    "out_res_3": "output_blocks.3.0",
-    "out_res_4": "output_blocks.4.0",
-    "out_res_5": "output_blocks.5.0",
-    "out_norm": "out.0",
-    "out_conv": "out.2",
-    "cond_embed_0": "cond_embed.0",
-    "cond_embed_1": "cond_embed.2",
-}
+# -- guided_diffusion UNet (structure per unet.py:418-548) -------------
+def gd_block_map(mults=(1, 2), res_blocks=2, attn_res=(2,)):
+    """flax module name -> torch sequential path, generated by replaying
+    the reference constructor's block-list numbering (unet.py:418-542) for
+    an arbitrary (channel_mults, res_blocks, attn_res) topology."""
+    attn = set(attn_res)
+    m = {
+        "in_conv": "input_blocks.0.0",
+        "mid_res_0": "middle_block.0",
+        "mid_attn": "middle_block.1",
+        "mid_res_1": "middle_block.2",
+        "out_norm": "out.0",
+        "out_conv": "out.2",
+        "cond_embed_0": "cond_embed.0",
+        "cond_embed_1": "cond_embed.2",
+    }
+    idx, blk, ds = 1, 0, 1
+    for level in range(len(mults)):
+        for _ in range(res_blocks):
+            m[f"in_res_{blk}"] = f"input_blocks.{idx}.0"
+            if ds in attn:
+                m[f"in_attn_{blk}"] = f"input_blocks.{idx}.1"
+            idx += 1
+            blk += 1
+        if level != len(mults) - 1:
+            m[f"down_{level}"] = f"input_blocks.{idx}.0"
+            idx += 1
+            ds *= 2
+    idx, blk = 0, 0
+    for level in reversed(range(len(mults))):
+        for i in range(res_blocks + 1):
+            m[f"out_res_{blk}"] = f"output_blocks.{idx}.0"
+            layer = 1
+            if ds in attn:
+                m[f"out_attn_{blk}"] = f"output_blocks.{idx}.{layer}"
+                layer += 1
+            if level and i == res_blocks:
+                m[f"up_{level}"] = f"output_blocks.{idx}.{layer}"
+                ds //= 2
+            idx += 1
+            blk += 1
+    return m
+
+
+GD_BLOCKS = gd_block_map()
 GD_RES_SUB = {
     "norm_in": "in_layers.0",
     "conv_in": "in_layers.2",
@@ -175,9 +191,9 @@ GD_RES_SUB = {
 GD_ATTN_SUB = {"norm": "norm", "qkv": "qkv", "proj": "proj_out"}
 
 
-def gd_torch_name(path, prefix="gd"):
+def gd_torch_name(path, prefix="gd", blocks=None):
     """flax flat path tuple -> (torch tensor name, transform kind)."""
-    block = GD_BLOCKS[path[0]]
+    block = (blocks or GD_BLOCKS)[path[0]]
     leaf = path[-1]
     if path[0].startswith(("cond_embed",)):
         torch_mod = block
@@ -200,12 +216,15 @@ def gd_torch_name(path, prefix="gd"):
 
 
 def port_diffusion_unet(model, w, example_args, prefix="gd"):
-    """Port a torch guided_diffusion UNet state (mults (1,2) structure)
-    into the flax DiffusionUNet. ``example_args`` = (x, y, gammas) shape
-    tuples used only to build the abstract variable tree."""
+    """Port a torch guided_diffusion UNet state into the flax
+    DiffusionUNet; the name map is generated from the model's own
+    (channel_mults, res_blocks, attn_res) topology. ``example_args`` =
+    (x, y, gammas) shape tuples used only to build the abstract tree."""
     import jax
     from flax.traverse_util import flatten_dict
 
+    blocks = gd_block_map(tuple(model.channel_mults), model.res_blocks,
+                          tuple(model.attn_res))
     abstract = jax.eval_shape(lambda: model.init(
         jax.random.key(0), jnp.zeros(example_args[0]),
         jnp.zeros(example_args[1]), jnp.ones(example_args[2]), train=False))
@@ -213,7 +232,7 @@ def port_diffusion_unet(model, w, example_args, prefix="gd"):
     def port(collection):
         flat = {}
         for path, leaf in flatten_dict(abstract[collection]).items():
-            name, kind = gd_torch_name(path, prefix)
+            name, kind = gd_torch_name(path, prefix, blocks)
             val = w[name]
             if kind == "kernel":
                 if val.ndim == 4:      # conv OIHW -> HWIO

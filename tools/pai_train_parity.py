@@ -123,23 +123,31 @@ def _run_palette(z, w):
     reference run recorded (models/palette.py:110-174)."""
     from parity_port import port_diffusion_unet
     from train_parity import (
+        PAL_ATTN,
         PAL_BATCH,
         PAL_IMG,
+        PAL_INNER,
+        PAL_MULTS,
         PAL_N_TRAIN,
         PAL_N_VAL,
         make_data,
     )
 
     from pai_tpu.diffusion import ddpm_sample, make_schedule
-    from pai_tpu.models import build_generator
+    from pai_tpu.models.diffusion_unet import DiffusionUNet
     from pai_tpu.train import steps as steps_lib
     from pai_tpu.train.state import PaletteTrainState, palette_optimizer
     from pai_tpu.utils import metrics as M
     from pai_tpu.utils.images import denormalize
 
     steps = int(z["steps"])
-    gen = build_generator("palette", channel_mults=(1, 2),
-                          attention_res=(2,))
+    # Direct construction so the 256² tier's narrowed width (PAL_INNER)
+    # matches the torch side; at the defaults this is exactly
+    # build_generator("palette", channel_mults=(1, 2), attention_res=(2,)).
+    gen = DiffusionUNet(in_channels=2, out_channels=1,
+                        inner_channel=PAL_INNER, res_blocks=2,
+                        channel_mults=PAL_MULTS, attn_res=PAL_ATTN,
+                        num_heads=4)
     shapes = ((1, PAL_IMG, PAL_IMG, 1), (1, PAL_IMG, PAL_IMG, 1), (1,))
     params, stats = port_diffusion_unet(gen, w, shapes, prefix="unet")
 

@@ -79,6 +79,24 @@ PAL_BATCH = 4
 PAL_N_TRAIN = 16   # 4 batches / epoch
 PAL_N_VAL = 4
 PAL_STEPS = 100    # 25 epochs
+PAL_MULTS = (1, 2)
+PAL_ATTN = (2,)
+PAL_INNER = 128    # the Palette constructor's hardcoded width
+
+# palette 256² tier (VERDICT r3 next #2): the full production resolution.
+# The constructor's inner_channel=128 at 256² costs ~200 s/step single-core
+# torch (measured) — intractable here — so the tier narrows the UNet to
+# inner_channel=32 post-construction: the same tractability device as the
+# trans_unet 2-layer-ViT truncation above, and equally semantics-preserving
+# — everything the tier exists to pin is UNCHANGED: palette.py's
+# training_step at 256² (t/gamma draws, q-sample, MSE loss), the 2000-step
+# linear train schedule, the 100-step cosine sampler driven through
+# DiffusionModel.backward, per-epoch LinearLR warmup, and the full-depth
+# (1,1,2,2)/attention-at-ds-8 guided_diffusion topology (FiLM res blocks,
+# up/down resblocks, attention) at production spatial extents.
+if SCALE_SUFFIX == "_256":
+    PAL_IMG, PAL_BATCH, PAL_N_TRAIN, PAL_N_VAL, PAL_STEPS = 256, 2, 4, 2, 30
+    PAL_MULTS, PAL_ATTN, PAL_INNER = (1, 1, 2, 2), (8,), 32
 
 
 def make_data(img=IMG, n_train=N_TRAIN, n_val=N_VAL):
@@ -555,9 +573,22 @@ def run_palette(fname):
     def build():
         torch.manual_seed(0)
         palette = Palette(in_channels=1, out_channels=1,
-                          channel_mults=(1, 2), attention_res=(2,),
+                          channel_mults=PAL_MULTS, attention_res=PAL_ATTN,
                           dropout=0.0, schedule_type="linear",
                           learn_var=False)
+        if PAL_INNER != 128:
+            # 256² tier tractability (see PAL_MULTS block above): narrow the
+            # UNet the constructor hardcodes at inner_channel=128. Replaced
+            # BEFORE configure_optimizers/_load_deterministic, so the
+            # optimizer state and the deterministic weight stream both see
+            # the narrowed module; the Palette task logic is untouched.
+            from models.guided_diffusion.unet import UNet
+
+            palette.unet = UNet(
+                in_channel=2, out_channel=1, res_blocks=2,
+                inner_channel=PAL_INNER, channel_mults=PAL_MULTS,
+                attn_res=PAL_ATTN, num_heads=4, dropout=0.0,
+                conv_resample=True, image_size=PAL_IMG)
         manifest = _load_deterministic([("unet", palette.unet)])
         return palette, manifest
 
@@ -627,12 +658,13 @@ def main():
         run_config("trans_unet", "mse",
                    f"train_parity_trans_mse{SCALE_SUFFIX}.npz",
                    patch=patch)
-    if want("palette") and not SCALE_SUFFIX:
-        # palette's 256² weight-level evidence is the sampler pin
-        # (tools/sampler_parity.py) — a 256² palette double-train with
-        # 100-step sampling is CPU-prohibitive and would add nothing the
-        # pin doesn't already isolate more sharply.
-        run_palette("train_parity_palette.npz")
+    if want("palette") and SCALE_SUFFIX in ("", "_256"):
+        # 32² tier: full-width (inner 128) at toy resolution. 256² tier:
+        # production resolution with the narrowed UNet (see PAL_MULTS
+        # block). The _long horizon adds nothing for palette: its training
+        # math is replay-exact at every step, so there is no trajectory
+        # chaos for a horizon to discriminate from semantics.
+        run_palette(f"train_parity_palette{SCALE_SUFFIX}.npz")
 
 
 if __name__ == "__main__":
