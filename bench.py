@@ -271,12 +271,17 @@ def bench_input_pipeline(batch=128, n_pairs=512, image_size=256):
                              sharding=sharding)
 
         def drain_epoch():
+            # On-device dependency chain with ONE readback at epoch end:
+            # a per-batch readback would time the dev tunnel's round-trip
+            # latency, not the pipeline (measured 57 vs 146 img/s e2e).
+            # The chain forces every batch's H2D + normalize to complete
+            # before the final sum can be fetched.
             n = 0
+            acc = jnp.zeros((), jnp.float32)
             for b in loader:
-                # data-dependent readback: the tunnel backend's
-                # block_until_ready returns before device completion
-                float(jnp.sum(b.x[0, ::64, ::64, 0]))
+                acc = acc + jnp.sum(b.x[0, ::64, ::64, 0])
                 n += b.x.shape[0]
+            float(acc)  # data-dependent readback: honest completion barrier
             return n
 
         drain_epoch()  # warmup: compile the normalize, warm the page cache

@@ -53,13 +53,16 @@ class CSVLogger:
 
     def _rewrite_header(self) -> None:
         # The header gained a column (a metric set seen for the first time
-        # — e.g. the first validation row): re-read the file and rewrite it
-        # under the grown header. O(file) IO per distinct metric set, which
-        # is bounded; memory stays O(1) — no row retention (a long run logs
-        # a row every 10 steps forever).
-        with open(self._path, newline="") as f:
-            rows = list(csv.DictReader(f))
-        with open(self._path, "w", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=self._fieldnames)
+        # — e.g. the first validation row): stream the file through a temp
+        # copy under the grown header, then atomically replace. O(file) IO
+        # per distinct metric set, which is bounded; memory stays O(1) —
+        # one row at a time, no retention (a long run logs a row every 10
+        # steps forever).
+        tmp = self._path + ".tmp"
+        with open(self._path, newline="") as src, \
+                open(tmp, "w", newline="") as dst:
+            writer = csv.DictWriter(dst, fieldnames=self._fieldnames)
             writer.writeheader()
-            writer.writerows(rows)
+            for row in csv.DictReader(src):
+                writer.writerow(row)
+        os.replace(tmp, self._path)
