@@ -22,11 +22,13 @@ Launch on a pod: run one process per host with the standard JAX pod env
 Executed evidence: ``tests/test_distributed.py`` runs a REAL 2-process
 cluster (localhost coordinator, 4 virtual CPU devices per process, Gloo
 collectives) through the production ``Trainer.fit()`` and asserts the
-validation metrics match a single-process 8-device run. IO is
-Lightning-style rank-zero (logs, meta, PNGs); orbax checkpoint saves are
-collective (every process enters, process 0 writes). Limitation:
-multi-process ``--fsdp`` is rejected at Trainer init — checkpoints are
-host-materialised, which requires fully-replicated state.
+validation metrics match a single-process 8-device run — including a
+2-process ``--fsdp`` run that resumes from its own sharded checkpoint.
+IO is Lightning-style rank-zero (logs, meta, PNGs); orbax checkpoint
+saves are collective: every process enters, live sharded ``jax.Array``s
+are saved shard-by-shard from their owning processes and restored onto
+the target shardings (``pai_tpu/utils/checkpoint.py``), so sharded
+(fsdp/tp) state never needs host materialisation.
 """
 
 from __future__ import annotations
