@@ -270,23 +270,39 @@ def bench_input_pipeline(batch=128, n_pairs=512, image_size=256):
                              num_workers=max(os.cpu_count() or 1, 1),
                              sharding=sharding)
 
-        def drain_epoch():
-            # On-device dependency chain with ONE readback at epoch end:
-            # a per-batch readback would time the dev tunnel's round-trip
-            # latency, not the pipeline (measured 57 vs 146 img/s e2e).
-            # The chain forces every batch's H2D + normalize to complete
-            # before the final sum can be fetched.
-            n = 0
-            acc = jnp.zeros((), jnp.float32)
-            for b in loader:
-                acc = acc + jnp.sum(b.x[0, ::64, ::64, 0])
-                n += b.x.shape[0]
-            float(acc)  # data-dependent readback: honest completion barrier
-            return n
+        # The standalone consumer mirrors the train step's dispatch shape:
+        # ONE pre-compiled executable call per batch (negligible compute)
+        # whose execution forces that batch's H2D + normalize to complete,
+        # and one data-dependent readback of the chained accumulator at
+        # the very end. The r04 version instead built an EAGER op chain
+        # per batch — each eager dispatch round-trips the remote dev
+        # tunnel and serializes against the producer thread's own
+        # dispatches, under-reporting the loader ~3x (BENCH_r04: 104
+        # img/s standalone vs 306 img/s for the SAME loader overlapped
+        # with training — impossible, hence an artifact). A zero-op
+        # consumer is no better: without per-batch executions the remote
+        # client defers transfer completion and the final barrier pays a
+        # round trip per deferred array (measured minutes-long stalls).
+        consume = jax.jit(lambda acc, xb, yb: acc + xb[0, 0, 0, 0]
+                          + yb[0, 0, 0, 0])
 
-        drain_epoch()  # warmup: compile the normalize, warm the page cache
+        def drain_epoch(acc):
+            n = 0
+            for b in loader:
+                acc = consume(acc, b.x, b.y)
+                n += b.x.shape[0]
+            return n, acc
+
+        # warmup: compile normalize + consume, warm the page cache
+        _, acc = drain_epoch(jnp.zeros((), jnp.float32))
+        float(acc)
         t0 = time.perf_counter()
-        n = sum(drain_epoch() for _ in range(3))
+        n = 0
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(3):
+            got, acc = drain_epoch(acc)
+            n += got
+        float(acc)  # single end-of-run readback: honest completion barrier
         standalone = n / (time.perf_counter() - t0)
 
         # Overlapped with the production train step: decode of batch k+1
@@ -384,12 +400,15 @@ def main():
         _release_config_memory()
         standalone, e2e = bench_input_pipeline()
         result["input_images_per_sec_measured"] = round(standalone, 2)
-        result["train_images_per_sec_e2e_png"] = round(e2e, 2)
+        result["input_images_per_sec_overlapped"] = round(e2e, 2)
         result["input_pipeline_host_cores"] = os.cpu_count()
         result["input_pipeline_note"] = (
             "ramdisk PNG -> threaded C++ decode -> uint8 H2D -> device "
-            "normalize; bounded by host cores + dev-tunnel H2D, "
-            "not by the TPU")
+            "normalize; standalone = loader alone, overlapped = same "
+            "loader feeding the pix2pix train step (r04's standalone "
+            "104 < overlapped 306 img/s was a consumer-side dispatch "
+            "artifact, fixed by a single end-of-epoch readback barrier); "
+            "bounded by host cores + dev-tunnel H2D, not by the TPU")
     print(json.dumps(result))
 
 

@@ -11,7 +11,14 @@ GAN step (mirrors ``models/wrapper.py:117-162``, D-then-G ordering):
   reference runs the generator forward twice per step with fresh dropout
   noise (``wrapper.py:126`` + ``wrapper.py:147``); since the generator
   weights are identical in both phases, a single forward is mathematically
-  the same model sample and saves ~25% of the step FLOPs.
+  the same model sample and saves ~25% of the step FLOPs. The single
+  forward (plus the closed-form double BatchNorm-stat update below) is
+  bit-exact to the reference ONLY at dropout 0 (the CLI default): with
+  active dropout the reference's two forwards draw independent masks, so
+  for ``dropout > 0`` the step auto-switches to a literal exact path —
+  fwd#1 (own mask, stats s0→s1) feeds the D phase, fwd#2 (fresh mask,
+  stats s1→s2, vjp-captured) feeds the G phase — paying the same second
+  forward the reference always pays.
 
 Palette step (mirrors ``models/palette.py:110-140``): uniform t, continuous-
 gamma q-sample, MSE on predicted noise, VLB term (added with weight 1e-3 only
@@ -113,28 +120,55 @@ def make_gan_train_step(generator, discriminator, loss_type: str,
     tests only — comparing post-Adam params is reduction-order fragile)."""
     g_tx = gan_optimizer()
     d_tx = gan_optimizer()
+    # With active dropout the reference's two per-step generator forwards
+    # (wrapper.py:126 D phase, wrapper.py:147 G phase) draw INDEPENDENT
+    # masks; the single-forward fast path would share one mask across both
+    # phases and the closed-form BN composition below would assume equal
+    # batch statistics downstream of dropout. Exactness over the ~25% FLOP
+    # saving: run the literal double forward whenever the generator
+    # actually drops (the reference pays the second forward always).
+    exact_double = (loss_type == "gan"
+                    and float(getattr(generator, "dropout", 0.0) or 0.0) > 0.0)
 
     def train_step(state: GanTrainState, x, y, rng):
         rng_dropout = jax.random.fold_in(rng, state.step)
 
-        # --- single generator forward, vjp-captured ---
-        def g_forward(g_params):
+        def g_forward(g_params, rng_drop, stats_in):
             variables = {"params": g_params}
-            if state.g_stats:
-                variables["batch_stats"] = state.g_stats
+            if stats_in:
+                variables["batch_stats"] = stats_in
             out = generator.apply(
-                variables, x, train=True, rngs={"dropout": rng_dropout},
-                mutable=["batch_stats"] if state.g_stats else [],
+                variables, x, train=True, rngs={"dropout": rng_drop},
+                mutable=["batch_stats"] if stats_in else [],
             )
-            if state.g_stats:
+            if stats_in:
                 pred, new_vars = out
                 return pred, new_vars["batch_stats"]
-            return out, state.g_stats
+            return out, stats_in
 
-        # has_aux=True: the updated batch_stats ride along undifferentiated.
-        pred, g_vjp, new_gstats = jax.vjp(
-            g_forward, state.g_params, has_aux=True)
-        if loss_type == "gan" and state.g_stats:
+        if exact_double:
+            rng_d_phase, rng_g_phase = jax.random.split(rng_dropout)
+            # fwd#1 (wrapper.py:126): D-phase sample with its own mask;
+            # no generator gradient flows (Lightning toggle_optimizer
+            # freezes G during the D step), stats s0 -> s1.
+            pred_d, stats_1 = g_forward(state.g_params, rng_d_phase,
+                                        state.g_stats)
+            pred_d = jax.lax.stop_gradient(pred_d)
+            stats_1 = jax.lax.stop_gradient(stats_1)
+            # fwd#2 (wrapper.py:147): fresh mask, vjp-captured for the G
+            # phase; BatchNorm's EMA composes on s1, so new_gstats is the
+            # literal sequential s2.
+            pred, g_vjp, new_gstats = jax.vjp(
+                lambda p: g_forward(p, rng_g_phase, stats_1),
+                state.g_params, has_aux=True)
+        else:
+            # --- single generator forward, vjp-captured; has_aux=True: the
+            # updated batch_stats ride along undifferentiated ---
+            pred, g_vjp, new_gstats = jax.vjp(
+                lambda p: g_forward(p, rng_dropout, state.g_stats),
+                state.g_params, has_aux=True)
+            pred_d = jax.lax.stop_gradient(pred)
+        if loss_type == "gan" and state.g_stats and not exact_double:
             # The reference's GAN step runs the generator forward TWICE
             # (D phase wrapper.py:126, G phase wrapper.py:147) with
             # identical weights and batch, so every BatchNorm running stat
@@ -142,9 +176,10 @@ def make_gan_train_step(generator, discriminator, loss_type: str,
             # Compose the second update in closed form: with torch momentum
             # m (flax decay d = 1-m), s1 = d·s0 + m·b  ⇒  s2 = (1+d)·s1 −
             # d·s0. Exact when the two forwards see the same batch
-            # statistics (always, except downstream of an active dropout
-            # layer whose two masks differ — the CLI default is dropout
-            # 0.0). At long horizons the EMA converges and this is
+            # statistics — guaranteed on this path, because the one case
+            # where they differ (an active dropout layer upstream of a
+            # BatchNorm) takes the exact_double branch above instead.
+            # At long horizons the EMA converges and this is
             # invisible; at short horizons (e.g. the 50-step 256² parity
             # tier) the stats-lag difference is a systematic val-forward
             # offset. The decay is read from the shared BatchNorm layer so
@@ -158,7 +193,7 @@ def make_gan_train_step(generator, discriminator, loss_type: str,
         new_d_params, new_d_opt = state.d_params, state.d_opt
         if loss_type == "gan":
             # --- discriminator phase (wrapper.py:120-138) ---
-            pred_sg = jax.lax.stop_gradient(pred)
+            pred_sg = pred_d
 
             def d_loss_fn(d_params):
                 # One batched D pass over [real | fake]: InstanceNorm is

@@ -279,6 +279,71 @@ def test_gan_step_batch_stats_match_reference_double_forward():
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_gan_step_dropout_exact_double_forward():
+    """With active dropout the closed-form single-forward composition is
+    wrong (the reference's two forwards — wrapper.py:126 and wrapper.py:147
+    — draw independent Dropout2d masks, pix2pix.py:107), so the step must
+    take the literal exact path: fwd#1 (own mask, stats s0->s1) feeds the
+    D phase, fwd#2 (fresh mask, stats s1->s2) feeds the G phase. Pin all
+    three observables against a hand-rolled replication: the running
+    stats, the D loss (computed from fwd#1's sample), and the G loss
+    (fwd#2's sample against the updated discriminator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pai_tpu.models import Discriminator, build_generator
+    from pai_tpu.train import losses, steps as steps_lib
+
+    # Dropout lives only in decoders with mult == max(mults)
+    # (dropout_for_level; decoders iterate mults[:-1]), so the max mult
+    # must repeat for any mask to fire — (1,2,4,8,8) drops in exactly one
+    # decoder.
+    gen = build_generator("pix2pix", channel_mults=(1, 2, 4, 8, 8),
+                          dropout=0.5)
+    disc = Discriminator()
+    state = steps_lib.init_gan_state(
+        gen, disc, jax.random.key(0), (4, 32, 32, 1), "gan", False)
+    kx, ky = jax.random.split(jax.random.key(1))
+    x = jax.random.normal(kx, (4, 32, 32, 1), jnp.float32)
+    y = jax.random.normal(ky, (4, 32, 32, 1), jnp.float32)
+
+    step = jax.jit(steps_lib.make_gan_train_step(
+        gen, disc, "gan", compute_metrics=False))
+    new_state, step_metrics = step(state, x, y, jax.random.key(2))
+
+    # Literal reference semantics with the SAME rng splits as the step.
+    rng_dropout = jax.random.fold_in(jax.random.key(2), state.step)
+    rng_d_phase, rng_g_phase = jax.random.split(rng_dropout)
+    pred1, mut1 = gen.apply(
+        {"params": state.g_params, "batch_stats": state.g_stats},
+        x, train=True, rngs={"dropout": rng_d_phase},
+        mutable=["batch_stats"])
+    pred2, mut2 = gen.apply(
+        {"params": state.g_params, "batch_stats": mut1["batch_stats"]},
+        x, train=True, rngs={"dropout": rng_g_phase},
+        mutable=["batch_stats"])
+
+    # The two masks genuinely differ (otherwise this test pins nothing).
+    assert float(jnp.max(jnp.abs(pred1 - pred2))) > 1e-6
+
+    for a, b in zip(jax.tree.leaves(new_state.g_stats),
+                    jax.tree.leaves(mut2["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+    d_loss_manual = losses.discriminator_loss(
+        disc.apply({"params": state.d_params}, x, pred1),
+        disc.apply({"params": state.d_params}, x, y))
+    np.testing.assert_allclose(float(step_metrics["d_loss"]),
+                               float(d_loss_manual), rtol=1e-5)
+
+    g_loss_manual = losses.generator_loss(
+        "gan", pred2, y,
+        disc.apply({"params": new_state.d_params}, x, pred2))
+    np.testing.assert_allclose(float(step_metrics["loss"]),
+                               float(g_loss_manual), rtol=1e-5)
+
+
 def test_palette_validate_on_non_main_process(tmp_path, synthetic_manifest):
     """Non-main pod processes must still select PALETTE eval params/stats in
     validate() — they join the sampling collectives; only the PNG/log IO is
