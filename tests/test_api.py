@@ -22,6 +22,7 @@ def dataset(tmp_path):
     return str(tmp_path / "d.yaml")
 
 
+@pytest.mark.heavy
 def test_pix2pix_fit_predict_reload(tmp_path, dataset):
     from pai_tpu.api import Pix2Pix
 
@@ -60,6 +61,7 @@ def test_palette_constructor_defaults():
     assert model.hparams["attention_res"] == "2"
 
 
+@pytest.mark.heavy
 def test_palette_predict_output_process(tmp_path, dataset):
     """Palette.predict(output_process=True) returns the reference's
     reverse-process stack (models/palette.py:79-100): y_T plus every

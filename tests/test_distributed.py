@@ -22,6 +22,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # 2-process clusters with per-process jit compiles, multi-minute
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
 
 

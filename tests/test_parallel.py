@@ -184,6 +184,7 @@ def test_fsdp_composes_with_tp(eight_devices):
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.heavy
 def test_fsdp_trans_unet_step(eight_devices):
     """FSDP on the model it targets: TransUNet's params are dominated by
     the ViT Dense kernels — fsdp must shard them over 'dp' and run the
@@ -243,6 +244,7 @@ def test_trainer_fsdp_flag(eight_devices, tmp_path):
     assert np.isfinite(summary["val_ssim"])
 
 
+@pytest.mark.heavy
 def test_dp_tp_mesh_runs(eight_devices):
     """The dryrun path: conv output channels Megatron-sharded over 'tp'."""
     from __graft_entry__ import dryrun_multichip
@@ -288,6 +290,7 @@ def test_multihead_attention_sp_dispatch(eight_devices):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_trainer_sp_flag(eight_devices, tmp_path):
     """--sp 2: end-to-end palette training with sequence-parallel ring
     attention in the diffusion UNet (dp=4 x sp=2 over 8 devices)."""
@@ -321,6 +324,7 @@ def test_trainer_sp_flag(eight_devices, tmp_path):
     assert summary["steps"] >= 1
 
 
+@pytest.mark.heavy
 def test_trainer_tp_flag(eight_devices, tmp_path):
     """--tp 2: end-to-end training with tensor-parallel param sharding."""
     from pai_tpu.train.loop import fit

@@ -49,6 +49,7 @@ def test_identity_report(tmp_path, small_dataset, monkeypatch):
     assert len(depth_lines) == 17
 
 
+@pytest.mark.heavy
 def test_palette_report_output_process(tmp_path, small_dataset, monkeypatch):
     """--output-process: a palette report additionally writes the
     reverse-diffusion capture (y_T + every (T//7)-th step,
@@ -94,6 +95,7 @@ def test_palette_report_output_process(tmp_path, small_dataset, monkeypatch):
                    output_process=True)
 
 
+@pytest.mark.heavy
 def test_trained_checkpoint_report(tmp_path, small_dataset):
     """Train 1 epoch, then rebuild the model from the checkpoint alone and
     report (report.py:24-43 load_from_checkpoint semantics)."""

@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # torch model builds + ckpt round-trips, multi-minute
+
 import jax
 import jax.numpy as jnp
 

@@ -65,6 +65,7 @@ def _read_metrics(log_root):
         return list(csv.DictReader(f))
 
 
+@pytest.mark.heavy
 def test_pix2pix_mse_end_to_end(tmp_path, synthetic_manifest):
     from pai_tpu.train.loop import fit
 
@@ -83,6 +84,7 @@ def test_pix2pix_mse_end_to_end(tmp_path, synthetic_manifest):
     assert any(r.get("val_ssim") for r in rows)
 
 
+@pytest.mark.heavy
 def test_pix2pix_gan_two_optimizer_step(tmp_path, synthetic_manifest):
     from pai_tpu.train.loop import fit
 
@@ -95,6 +97,7 @@ def test_pix2pix_gan_two_optimizer_step(tmp_path, synthetic_manifest):
     assert any(r.get("d_loss") for r in rows)
 
 
+@pytest.mark.heavy
 def test_ema_and_resume(tmp_path, synthetic_manifest):
     from pai_tpu.train.loop import fit
 
@@ -106,6 +109,7 @@ def test_ema_and_resume(tmp_path, synthetic_manifest):
     assert s2["steps"] > s1["steps"]
 
 
+@pytest.mark.heavy
 def test_palette_end_to_end(tmp_path, synthetic_manifest):
     """Diffusion training + scan-sampled validation + output PNGs
     (palette.py:110-174)."""
@@ -126,6 +130,7 @@ def test_palette_end_to_end(tmp_path, synthetic_manifest):
     assert any(r.get("val_ssim") for r in rows)
 
 
+@pytest.mark.heavy
 def test_palette_resume(tmp_path, synthetic_manifest):
     """Palette checkpoint/resume round trip (no sampling: val_epochs high)."""
     from pai_tpu.train.loop import fit
@@ -138,6 +143,7 @@ def test_palette_resume(tmp_path, synthetic_manifest):
     assert s2["steps"] == 2 * s1["steps"]
 
 
+@pytest.mark.heavy
 def test_bf16_precision_policy(tmp_path, synthetic_manifest):
     """--precision bf16: bfloat16 compute, float32 params/metrics."""
     from pai_tpu.train.loop import fit
@@ -149,6 +155,7 @@ def test_bf16_precision_policy(tmp_path, synthetic_manifest):
     assert np.isfinite(summary["val_ssim"])
 
 
+@pytest.mark.heavy
 def test_loss_decreases(tmp_path, synthetic_manifest):
     from pai_tpu.train.loop import fit
 
@@ -194,6 +201,7 @@ def test_palette_warmup_unit_epoch():
     assert per_step[0] < per_step[1] < per_step[2]
 
 
+@pytest.mark.heavy
 def test_scan_steps_matches_single_steps(tmp_path, synthetic_manifest,
                                          monkeypatch):
     """--scan-steps K folds K steps into one lax.scan dispatch; the math is
@@ -279,6 +287,7 @@ def test_gan_step_batch_stats_match_reference_double_forward():
                                    rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.heavy
 def test_gan_step_dropout_exact_double_forward():
     """With active dropout the closed-form single-forward composition is
     wrong (the reference's two forwards — wrapper.py:126 and wrapper.py:147
@@ -344,6 +353,7 @@ def test_gan_step_dropout_exact_double_forward():
                                float(g_loss_manual), rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_palette_validate_on_non_main_process(tmp_path, synthetic_manifest):
     """Non-main pod processes must still select PALETTE eval params/stats in
     validate() — they join the sampling collectives; only the PNG/log IO is
@@ -368,6 +378,7 @@ def test_palette_validate_on_non_main_process(tmp_path, synthetic_manifest):
         for v in os.listdir(version_root))
 
 
+@pytest.mark.heavy
 def test_nan_halt_saves_postmortem_and_preserves_last(
         tmp_path, synthetic_manifest, monkeypatch):
     """Failure detection (SURVEY §5 — the reference has none): a non-finite
