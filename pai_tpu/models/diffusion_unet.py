@@ -111,7 +111,16 @@ class ResBlock(nn.Module):
 
 class AttentionBlock(nn.Module):
     """Spatial self-attention with BatchNorm1d pre-norm and zero-init output
-    projection (unet.py:217-262 with the nn.py:51-58 BatchNorm deviation)."""
+    projection (unet.py:217-262 with the nn.py:51-58 BatchNorm deviation).
+
+    The norm's momentum is 0.81 = 0.9², not 0.9: the reference wraps every
+    attention block in ALWAYS-ON gradient checkpointing (unet.py:253-254,
+    nn.py CheckpointFunction), whose backward re-runs ``_forward`` with the
+    module still in train mode — so each reference training step updates
+    this BatchNorm1d's running stats TWICE with the same batch statistics,
+    i.e. r <- 0.9²·r + (1-0.9²)·m. Discovered by the production-width pin
+    (tests/test_width_parity.py); one composed update replicates it
+    exactly."""
 
     num_heads: int = 4
     dtype: jnp.dtype = jnp.float32
@@ -121,7 +130,8 @@ class AttentionBlock(nn.Module):
         n, hh, ww, c = x.shape
         tokens = x.reshape(n, hh * ww, c)
 
-        h = BatchNorm(use_running_average=not train, name="norm")(tokens)
+        h = BatchNorm(use_running_average=not train, momentum=0.81,
+                      name="norm")(tokens)
         qkv = Dense(3 * c, init_mode="torch", dtype=self.dtype,
                     name="qkv")(h)
         qkv = qkv.reshape(n, hh * ww, self.num_heads, 3,
