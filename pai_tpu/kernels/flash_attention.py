@@ -44,14 +44,28 @@ LANES = 8
 
 def _block_sizes(t: int, d: int):
     """(BLOCK_Q, BLOCK_K) sizing: the f32 logits tile costs BQ*BK*4 bytes of
-    VMEM; 1024^2 (4 MB + panels) is the largest tile that reliably fits the
+    VMEM; 1024^2 (4 MB + panels) is the largest tile that fits the DEFAULT
     16 MB scoped-vmem budget and measured 10.2 ms at T=16384 b1 h4 d64 on
-    v5e (vs 13.1 ms at 512^2; 2048^2 is ~7% faster when it fits but
-    compiles over budget)."""
-    blk = 1024
+    v5e (vs 13.1 ms at 512^2). 2048^2 (16 MB logits tile) compiles over
+    that default budget; set PAI_FLASH_MAX_BLOCK=2048 to opt in — the
+    pallas_calls then raise ``vmem_limit_bytes`` (docs/PERF.md records the
+    measured outcome of that experiment)."""
+    import os
+
+    blk = int(os.environ.get("PAI_FLASH_MAX_BLOCK", "1024"))
     while t % blk:
         blk //= 2
     return blk, blk
+
+
+def _compiler_kwargs(block_q: int, block_k: int):
+    """Raise the Mosaic scoped-vmem budget only when a >1024 tile was
+    explicitly requested: the f32 logits tile alone is BQ*BK*4 bytes
+    (16 MB at 2048^2), over the 16 MB default; v5e VMEM is 128 MB."""
+    if max(block_q, block_k) <= 1024:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 2 ** 20)}
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +157,7 @@ def _fwd_call(q, k, v, emit_lse: bool, interpret):
             bytes_accessed=(4 * b * h * t * d) * 4,
             transcendentals=b * h * t * t,
         ),
+        **_compiler_kwargs(block_q, block_k),
     )(qf, kf, vf)
     if emit_lse:
         out, lse = result
@@ -269,6 +284,7 @@ def _flash_backward(q, k, v, o, lse, g, interpret=None):
         out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
+        **_compiler_kwargs(block_q, block_k),
     )(qf, kf, vf, gf, lse_b, delta_b)
 
     col_specs = [
@@ -304,6 +320,7 @@ def _flash_backward(q, k, v, o, lse, g, interpret=None):
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
         interpret=interpret,
+        **_compiler_kwargs(block_q, block_k),
     )(qf, kf, vf, gf, lse_b, delta_b)
 
     shape = (b, h, t, d)
