@@ -181,6 +181,36 @@ def _bench_palette(batch, dtype, mults=(1, 1, 2, 2, 4, 4),
     return train_ips, sample_ips
 
 
+def _bench_palette_default_attn(batch, dtype, mults=(1, 1, 2, 2, 4, 4),
+                                attn=(8, 4, 2)):
+    """Palette 100-step sampling at the CLI-DEFAULT attention resolutions
+    (main.py `--attention-res 8,4,2`, matching /root/reference/main.py:
+    188-195): attention at 32²/64²/128² = 1k/4k/16k tokens, the 16k stage
+    dispatching the no-lse Pallas flash forward inside the sampler scan.
+    The flagship diffusion config's sampling cost, as a captured number
+    rather than PERF.md prose (measured basis: docs/PERF.md 'Palette
+    sampler at the CLI-default attention resolutions')."""
+    from pai_tpu.models import build_generator
+    from pai_tpu.train import steps as steps_lib
+    from pai_tpu.diffusion import make_schedule
+
+    gen = build_generator("palette", channel_mults=mults, attention_res=attn,
+                          dtype=dtype)
+    sched_inf = make_schedule("cosine", 100)
+    state = steps_lib.init_palette_state(
+        gen, jax.random.key(0), (batch, IMAGE, IMAGE, 1), False)
+    kx, ky = jax.random.split(jax.random.key(1))
+    x = jax.random.normal(kx, (batch, IMAGE, IMAGE, 1), jnp.float32)
+    y = jax.random.normal(ky, (batch, IMAGE, IMAGE, 1), jnp.float32)
+    sample = jax.jit(steps_lib.make_palette_sample_step(gen, sched_inf, False))
+    _, pm = sample(state.params, state.stats, x, y, jax.random.key(3))
+    float(pm["ssim"][0])
+    t0 = time.perf_counter()
+    _, pm = sample(state.params, state.stats, x, y, jax.random.key(4))
+    float(pm["ssim"][0])
+    return batch / (time.perf_counter() - t0)
+
+
 def _bench_trans_unet(dtype, steps=6):
     """TransUNet (BASELINE config 4) at its canonical mults (1,2,2,4,4) —
     the 1.03B-parameter model whose param-count golden the tests pin. Its
@@ -397,6 +427,16 @@ def main():
         result["palette_train_images_per_sec"] = round(pal_train, 2)
         result["palette_sample100_images_per_sec"] = round(pal_sample, 3)
         result["palette_batch"] = pal_batch
+        _release_config_memory()
+        ips, b = _with_batch_backoff(
+            lambda b: _bench_palette_default_attn(b, jnp.bfloat16), (16, 8))
+        result["palette_default_attn_sample100_images_per_sec"] = \
+            round(ips, 3)
+        result["palette_default_attn_batch"] = b
+        result["palette_default_attn_note"] = (
+            "--attention-res 8,4,2 (CLI default: 1k/4k/16k-token stages, "
+            "Pallas flash at 16k) at palette width, mults (1,1,2,2,4,4); "
+            "batch 32 exceeds HBM (docs/PERF.md)")
         _release_config_memory()
         standalone, e2e = bench_input_pipeline()
         result["input_images_per_sec_measured"] = round(standalone, 2)
