@@ -94,3 +94,27 @@ def test_pix2pix_default_256():
     variables = model.init(jax.random.key(0), x, train=False)
     y = model.apply(variables, x, train=False)
     assert y.shape == (1, 256, 256, 1)
+
+
+def test_attention_norm_composed_double_update():
+    """The attention BatchNorm1d's running stats must compose TWO
+    momentum-0.1 updates per train-mode application (r <- 0.81 r + 0.19 m):
+    the reference wraps attention in always-on gradient checkpointing
+    (guided_diffusion/unet.py:253-254) whose backward re-runs the forward
+    in train mode, updating the stats a second time with the same batch
+    statistics (PARITY.md quirk 11, discovered by the production-width
+    pin). ResBlock norms update once (momentum 0.9)."""
+    import numpy as np
+    from pai_tpu.models.diffusion_unet import AttentionBlock
+
+    block = AttentionBlock(num_heads=2)
+    x = jax.random.normal(jax.random.key(1), (2, 4, 4, 8), jnp.float32)
+    variables = block.init(jax.random.key(0), x, train=False)
+    r_mean0 = np.asarray(variables["batch_stats"]["norm"]["BatchNorm_0"]["mean"])
+    _, mut = block.apply(variables, x, train=True,
+                         mutable=["batch_stats"])
+    tokens = np.asarray(x).reshape(2, 16, 8)
+    m = tokens.mean(axis=(0, 1))
+    expected = 0.9 ** 2 * r_mean0 + (1 - 0.9 ** 2) * m
+    got = np.asarray(mut["batch_stats"]["norm"]["BatchNorm_0"]["mean"])
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7)
