@@ -52,21 +52,37 @@ class _Progress:
     values on EVERY step via Lightning's ``prog_bar=True``
     (``models/wrapper.py:132``). On a TTY: an inline ``\\r`` line updated
     every step (rate-limited to ~20 Hz, like Lightning's tqdm bar) showing
-    the step counter plus the metric values from the most recent 10-step
-    fetch boundary — no extra device sync is ever paid for display. Piped
-    logs get plain lines only at log boundaries, so files stay clean."""
+    the step counter plus live metric values: the LOSS refreshes at ~2 Hz
+    from the previous step's already-completed device metrics (a one-RTT
+    readback of a value the device has finished computing — the current
+    step is dispatched first, so compute/H2D overlap is preserved and the
+    queue never drains), and the quality metrics refresh at each 10-step
+    boundary fetch. Piped logs get plain lines only at log boundaries, so
+    files stay clean and non-TTY runs pay zero extra readbacks."""
 
-    _MIN_INTERVAL = 0.05  # seconds between inline redraws
+    _MIN_INTERVAL = 0.05   # seconds between inline redraws
+    _FETCH_INTERVAL = 0.5  # seconds between live off-boundary loss fetches
 
     def __init__(self):
         self._open = False
         self._tty = sys.stderr.isatty()
         self._last_draw = 0.0
+        self._last_fetch = 0.0
 
     @property
     def live(self) -> bool:
         """Whether per-step (non-boundary) updates will be displayed."""
         return self._tty
+
+    def should_fetch(self) -> bool:
+        """Rate-limit the off-boundary device readback (~2 Hz): live
+        enough for a human, and at most 2 RTTs/second of host cost even
+        on a slow link."""
+        now = time.time()
+        if not self._tty or now - self._last_fetch < self._FETCH_INTERVAL:
+            return False
+        self._last_fetch = now
+        return True
 
     def update(self, msg: str, throttle: bool = False) -> None:
         if self._tty:
@@ -411,10 +427,11 @@ class Trainer:
                              "cadence (1, 2, 5 or 10)")
 
         last_vals: Dict[str, float] = {}
+        prev_metrics = None  # previous step's device-resident metrics
 
         def process_single(state, batch, epoch):
             """One optimizer step + the logging/failure/profile bookkeeping."""
-            nonlocal global_step, images_seen, profiling, done
+            nonlocal global_step, images_seen, profiling, done, prev_metrics
             log_this = (global_step + 1) % 10 == 0
             step_fn = self.train_step if log_this else self.train_step_lean
             state, metrics = step_fn(state, batch.x, batch.y, train_rng)
@@ -449,13 +466,21 @@ class Trainer:
                         f"(diverged state saved for postmortem; "
                         f"--resume recovers from the last checkpoint)")
             elif self.is_main and progress.live:
-                # per-step live line (Lightning prog_bar parity): shows the
-                # most recent boundary's metric values without fetching —
-                # the device queue keeps running ahead
+                # per-step live line (Lightning prog_bar parity). At most
+                # every _FETCH_INTERVAL the PREVIOUS lean step's loss is
+                # fetched — that step has already finished on the device
+                # (the current step was just dispatched above), so the
+                # readback costs one RTT and never drains the dispatch
+                # queue; quality metrics refresh at the 10-step boundary.
+                if prev_metrics is not None and progress.should_fetch():
+                    last_vals.update(
+                        {k: float(v) for k, v in
+                         jax.device_get(prev_metrics).items()})
                 progress.update(
                     f"epoch {epoch + 1} step {global_step} "
                     + " ".join(f"{k}={v:.4f}" for k, v in last_vals.items()),
                     throttle=True)
+            prev_metrics = metrics
             if profiling and global_step >= 12:
                 jax.profiler.stop_trace()
                 profiling = False

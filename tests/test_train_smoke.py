@@ -459,3 +459,23 @@ def test_csv_logger_header_growth_and_o1_memory(tmp_path):
     assert rows[0]["val_ssim"] == ""    # backfilled empty cell
     assert rows[2]["val_ssim"] == "0.5"
     assert rows[3]["loss"] == "0.01"
+
+
+def test_progress_live_fetch_rate_limit(monkeypatch):
+    """The off-boundary live-loss readback is TTY-gated and rate-limited
+    to ~2 Hz (one RTT per fetch, never per step): Lightning prog_bar
+    parity (wrapper.py:132) without per-step device sync."""
+    import time as time_mod
+
+    from pai_tpu.train.loop import _Progress
+
+    p = _Progress()
+    monkeypatch.setattr(p, "_tty", False)
+    assert not p.should_fetch()  # piped: never fetches
+
+    monkeypatch.setattr(p, "_tty", True)
+    p._last_fetch = 0.0
+    assert p.should_fetch()          # first fetch allowed
+    assert not p.should_fetch()      # immediately after: blocked
+    p._last_fetch = time_mod.time() - (_Progress._FETCH_INTERVAL + 0.01)
+    assert p.should_fetch()          # interval elapsed: allowed again
