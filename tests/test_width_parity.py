@@ -11,7 +11,7 @@ name maps and pins, at the reference's LITERAL width and resolution:
 * the training-step forward loss in train mode (BN batch statistics);
 * the full backward: per-tensor gradient rms everywhere plus four
   representative tensors elementwise (first conv, first ResBlock conv,
-  a qkv projection under the 128-ch attention BatchNorm1d, the head);
+  a qkv projection under an attention BatchNorm1d, the head);
 * the post-forward BN running-stat (mean, rms) summaries;
 * the first 10 of 100 reverse-sampler steps, elementwise per step.
 
