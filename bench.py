@@ -142,24 +142,47 @@ def _bench_generic_train(model_name, loss_type, batch, dtype,
     return batch * steps / (time.perf_counter() - t0)
 
 
-def _bench_palette(batch, dtype, mults=(1, 1, 2, 2, 4, 4),
-                   attn=(16, 8), steps=8):
-    """Palette train + full 100-step sampling throughput (the palette
-    module's own default width — the CLI-default 8-level config is a ~974M
-    parameter model whose f32 Adam state alone exceeds one v5e's HBM)."""
-    from pai_tpu.models import build_generator
+def _palette_sample100_ips(gen, state, x, y, batch):
+    """Time ONE full 100-step reverse chain after one warmup/compile pass;
+    completion is forced by the data-dependent metric readback (the only
+    honest barrier on the remote-tunnel backend — see module docstring)."""
     from pai_tpu.train import steps as steps_lib
     from pai_tpu.diffusion import make_schedule
 
+    sched_inf = make_schedule("cosine", 100)
+    sample = jax.jit(steps_lib.make_palette_sample_step(gen, sched_inf, False))
+    _, pm = sample(state.params, state.stats, x, y, jax.random.key(3))
+    float(pm["ssim"][0])
+    t0 = time.perf_counter()
+    _, pm = sample(state.params, state.stats, x, y, jax.random.key(4))
+    float(pm["ssim"][0])
+    return batch / (time.perf_counter() - t0)
+
+
+def _palette_setup(batch, dtype, mults, attn):
+    from pai_tpu.models import build_generator
+    from pai_tpu.train import steps as steps_lib
+
     gen = build_generator("palette", channel_mults=mults, attention_res=attn,
                           dtype=dtype)
-    sched = make_schedule("linear", 2000, 1e-6, 0.01)
-    sched_inf = make_schedule("cosine", 100)
     state = steps_lib.init_palette_state(
         gen, jax.random.key(0), (batch, IMAGE, IMAGE, 1), False)
     kx, ky = jax.random.split(jax.random.key(1))
     x = jax.random.normal(kx, (batch, IMAGE, IMAGE, 1), jnp.float32)
     y = jax.random.normal(ky, (batch, IMAGE, IMAGE, 1), jnp.float32)
+    return gen, state, x, y
+
+
+def _bench_palette(batch, dtype, mults=(1, 1, 2, 2, 4, 4),
+                   attn=(16, 8), steps=8):
+    """Palette train + full 100-step sampling throughput (the palette
+    module's own default width — the CLI-default 8-level config is a ~974M
+    parameter model whose f32 Adam state alone exceeds one v5e's HBM)."""
+    from pai_tpu.train import steps as steps_lib
+    from pai_tpu.diffusion import make_schedule
+
+    gen, state, x, y = _palette_setup(batch, dtype, mults, attn)
+    sched = make_schedule("linear", 2000, 1e-6, 0.01)
     step = jax.jit(steps_lib.make_palette_train_step(gen, sched, False),
                    donate_argnums=(0,))
     for _ in range(2):
@@ -170,15 +193,7 @@ def _bench_palette(batch, dtype, mults=(1, 1, 2, 2, 4, 4),
         state, m = step(state, x, y, jax.random.key(2))
     float(m["loss"])
     train_ips = batch * steps / (time.perf_counter() - t0)
-
-    sample = jax.jit(steps_lib.make_palette_sample_step(gen, sched_inf, False))
-    _, pm = sample(state.params, state.stats, x, y, jax.random.key(3))
-    float(pm["ssim"][0])
-    t0 = time.perf_counter()
-    _, pm = sample(state.params, state.stats, x, y, jax.random.key(4))
-    float(pm["ssim"][0])
-    sample_ips = batch / (time.perf_counter() - t0)
-    return train_ips, sample_ips
+    return train_ips, _palette_sample100_ips(gen, state, x, y, batch)
 
 
 def _bench_palette_default_attn(batch, dtype, mults=(1, 1, 2, 2, 4, 4),
@@ -190,25 +205,8 @@ def _bench_palette_default_attn(batch, dtype, mults=(1, 1, 2, 2, 4, 4),
     The flagship diffusion config's sampling cost, as a captured number
     rather than PERF.md prose (measured basis: docs/PERF.md 'Palette
     sampler at the CLI-default attention resolutions')."""
-    from pai_tpu.models import build_generator
-    from pai_tpu.train import steps as steps_lib
-    from pai_tpu.diffusion import make_schedule
-
-    gen = build_generator("palette", channel_mults=mults, attention_res=attn,
-                          dtype=dtype)
-    sched_inf = make_schedule("cosine", 100)
-    state = steps_lib.init_palette_state(
-        gen, jax.random.key(0), (batch, IMAGE, IMAGE, 1), False)
-    kx, ky = jax.random.split(jax.random.key(1))
-    x = jax.random.normal(kx, (batch, IMAGE, IMAGE, 1), jnp.float32)
-    y = jax.random.normal(ky, (batch, IMAGE, IMAGE, 1), jnp.float32)
-    sample = jax.jit(steps_lib.make_palette_sample_step(gen, sched_inf, False))
-    _, pm = sample(state.params, state.stats, x, y, jax.random.key(3))
-    float(pm["ssim"][0])
-    t0 = time.perf_counter()
-    _, pm = sample(state.params, state.stats, x, y, jax.random.key(4))
-    float(pm["ssim"][0])
-    return batch / (time.perf_counter() - t0)
+    gen, state, x, y = _palette_setup(batch, dtype, mults, attn)
+    return _palette_sample100_ips(gen, state, x, y, batch)
 
 
 def _bench_trans_unet(dtype, steps=6):

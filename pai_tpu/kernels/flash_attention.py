@@ -52,7 +52,19 @@ def _block_sizes(t: int, d: int):
     measured outcome of that experiment)."""
     import os
 
-    blk = int(os.environ.get("PAI_FLASH_MAX_BLOCK", "1024"))
+    raw = os.environ.get("PAI_FLASH_MAX_BLOCK", "1024")
+    try:
+        blk = int(raw)
+    except ValueError:
+        blk = -1
+    if blk < 128 or blk & (blk - 1):
+        raise ValueError(
+            f"PAI_FLASH_MAX_BLOCK={raw!r}: must be a power of two >= 128 "
+            "(Mosaic tiles require power-of-two blocks). NOTE: the value "
+            "is read at TRACE time — changing it after a shape has been "
+            "jit-compiled has no effect on the cached executable; set it "
+            "before the first attention call (or use a fresh process, as "
+            "tools/flash_vmem_probe.py does).")
     while t % blk:
         blk //= 2
     return blk, blk

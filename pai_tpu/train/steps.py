@@ -108,6 +108,34 @@ def init_palette_state(unet, rng, batch_shape, use_ema: bool
 # --------------------------------------------------------------------------
 # GAN families
 # --------------------------------------------------------------------------
+def _generator_dropout_active(generator) -> bool:
+    """Whether ANY dropout layer actually fires in a training forward.
+
+    A nonzero ``--dropout`` rate is not sufficient: the conv U-Nets place
+    dropout only in the deepest widest decoders —
+    ``dropout_for_level(level, mult, mults, rate) > 0`` over the decoder
+    iteration ``enumerate(mults[:-1])`` (pix2pix.py:173-179; same loop in
+    attention/res U-Nets) — so e.g. mults (1,2,4,8) never drops at any
+    rate. Only when a layer really fires is the literal double-forward
+    path needed; otherwise the single-forward closed-form BN composition
+    is provably exact and ~25% cheaper. TransUNet's ViT applies dropout
+    unconditionally, so any nonzero rate is active there."""
+    rate = float(getattr(generator, "dropout", 0.0) or 0.0)
+    if rate <= 0.0:
+        return False
+    mults = getattr(generator, "channel_mults", None)
+    if mults is None:
+        return True
+    from pai_tpu.models.trans_unet import TransUnet
+
+    if isinstance(generator, TransUnet):
+        return True
+    from pai_tpu.models.pix2pix import dropout_for_level
+
+    return any(dropout_for_level(level, mult, mults, rate) > 0.0
+               for level, mult in enumerate(mults[:-1]))
+
+
 def make_gan_train_step(generator, discriminator, loss_type: str,
                         compute_metrics: bool = True,
                         with_grads: bool = False):
@@ -127,8 +155,7 @@ def make_gan_train_step(generator, discriminator, loss_type: str,
     # batch statistics downstream of dropout. Exactness over the ~25% FLOP
     # saving: run the literal double forward whenever the generator
     # actually drops (the reference pays the second forward always).
-    exact_double = (loss_type == "gan"
-                    and float(getattr(generator, "dropout", 0.0) or 0.0) > 0.0)
+    exact_double = loss_type == "gan" and _generator_dropout_active(generator)
 
     def train_step(state: GanTrainState, x, y, rng):
         rng_dropout = jax.random.fold_in(rng, state.step)

@@ -479,3 +479,29 @@ def test_progress_live_fetch_rate_limit(monkeypatch):
     assert not p.should_fetch()      # immediately after: blocked
     p._last_fetch = time_mod.time() - (_Progress._FETCH_INTERVAL + 0.01)
     assert p.should_fetch()          # interval elapsed: allowed again
+
+
+def test_generator_dropout_active_gating():
+    """exact_double must engage only when a dropout layer actually fires:
+    the conv U-Nets drop only where dropout_for_level > 0 over the decoder
+    levels, so mults without a repeated max never drop at any rate and
+    keep the ~25%-cheaper single-forward path; TransUNet's ViT drops
+    unconditionally."""
+    from pai_tpu.models import build_generator
+    from pai_tpu.models.trans_unet import TransUnet
+    from pai_tpu.train.steps import _generator_dropout_active
+
+    g = build_generator("pix2pix", channel_mults=(1, 2, 4, 8), dropout=0.5)
+    assert not _generator_dropout_active(g)  # max mult never repeats
+
+    g = build_generator("pix2pix", channel_mults=(1, 2, 4, 8, 8),
+                        dropout=0.5)
+    assert _generator_dropout_active(g)
+
+    g = build_generator("pix2pix", channel_mults=(1, 2, 4, 8, 8),
+                        dropout=0.0)
+    assert not _generator_dropout_active(g)
+
+    g = TransUnet(out_channels=1, image_size=32, channel_mults=(1, 2),
+                  patch_size=4, vit_layers=2, dropout=0.1)
+    assert _generator_dropout_active(g)
