@@ -13,9 +13,11 @@ GAN step (mirrors ``models/wrapper.py:117-162``, D-then-G ordering):
   weights are identical in both phases, a single forward is mathematically
   the same model sample and saves ~25% of the step FLOPs. The single
   forward (plus the closed-form double BatchNorm-stat update below) is
-  bit-exact to the reference ONLY at dropout 0 (the CLI default): with
-  active dropout the reference's two forwards draw independent masks, so
-  for ``dropout > 0`` the step auto-switches to a literal exact path —
+  bit-exact to the reference ONLY while no dropout layer fires (the CLI
+  default, and also any nonzero rate whose config never places an active
+  layer — see ``_generator_dropout_active``): with active dropout the
+  reference's two forwards draw independent masks, so the step
+  auto-switches to a literal exact path —
   fwd#1 (own mask, stats s0→s1) feeds the D phase, fwd#2 (fresh mask,
   stats s1→s2, vjp-captured) feeds the G phase — paying the same second
   forward the reference always pays.
